@@ -1,0 +1,78 @@
+"""Converter expression-function registry.
+
+Rebuilds the reference's pluggable converter function library
+(``geomesa-convert/geomesa-convert-common/.../Transformers.scala:27-305`` —
+string ops, casts, dates, geometry construction, id/hash functions) as a
+registry of named builders returning Spark Column expressions. Everything is
+a built-in ``pyspark.sql.functions`` composition: JVM-side, codegen-friendly,
+no per-row Python. New functions register via :func:`register` (the SPI
+``ServiceRegistry`` analog, ``Transformers.scala:29-32``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FUNCTIONS: dict[str, Callable[..., Column]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        FUNCTIONS[name] = fn
+        return fn
+
+    return deco
+
+
+def resolve_function(name: str) -> Callable[..., Column]:
+    try:
+        return FUNCTIONS[name]
+    except KeyError:
+        raise KeyError(f"no converter function {name!r}; registered: {sorted(FUNCTIONS)}")
+
+
+# --- string functions (Transformers.scala:224-238) -------------------------
+register("stripQuotes")(lambda c: F.regexp_replace(c, "^['\"]|['\"]$", ""))
+register("strlen")(lambda c: F.length(c))
+register("trim")(lambda c: F.trim(c))
+register("capitalize")(lambda c: F.initcap(c))
+register("lowercase")(lambda c: F.lower(c))
+register("uppercase")(lambda c: F.upper(c))
+register("regexReplace")(lambda pattern, repl, c: F.regexp_replace(c, pattern, repl))
+register("concat")(lambda *cs: F.concat(*cs))
+register("substr")(lambda c, a, b: F.substring(c, a + 1, b - a))
+
+# --- casts (Transformers.scala:46-47,120-129) -------------------------------
+register("toInt")(lambda c: c.cast("int"))
+register("toLong")(lambda c: c.cast("long"))
+register("toDouble")(lambda c: c.cast("double"))
+register("toFloat")(lambda c: c.cast("float"))
+register("toBoolean")(lambda c: c.cast("boolean"))
+
+# --- dates (Transformers.scala:240-267) -------------------------------------
+register("now")(lambda: F.current_timestamp())
+register("date")(lambda fmt, c: F.to_timestamp(c, fmt))
+register("isodate")(lambda c: F.to_timestamp(c, "yyyyMMdd"))
+register("isodatetime")(lambda c: F.to_timestamp(c, "yyyyMMdd'T'HHmmss.SSSX"))
+register("basicDateTimeNoMillis")(lambda c: F.to_timestamp(c, "yyyyMMdd'T'HHmmssX"))
+register("dateHourMinuteSecondMillis")(lambda c: F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss.SSS"))
+register("millisToDate")(lambda c: F.timestamp_millis(c.cast("long")))
+register("secsToDate")(lambda c: F.timestamp_seconds(c.cast("long")))
+
+# --- geometry (Transformers.scala:269-277) ----------------------------------
+register("point")(lambda x, y: F.struct(x.cast("double").alias("lon"), y.cast("double").alias("lat")))
+register("wktPoint")(lambda x, y: F.format_string("POINT (%s %s)", x.cast("string"), y.cast("string")))
+
+# --- id / hash (Transformers.scala:279-294) ----------------------------------
+register("string2bytes")(lambda c: F.encode(c, "UTF-8"))
+register("md5")(lambda c: F.md5(c))
+register("sha256")(lambda c: F.sha2(c, 256))
+register("uuid")(lambda: F.expr("uuid()"))
+register("base64")(lambda c: F.base64(c))
+register("murmur3")(lambda c: F.xxhash64(c))  # 64-bit stable hash for ids/salts
+
+# --- misc --------------------------------------------------------------------
+register("lineNo")(lambda: F.monotonically_increasing_id())

@@ -1,0 +1,125 @@
+"""Physical layout: index-key enrichment + partitioned, z-sorted writes.
+
+Rebuilds the reference's write path (``ACC/data/AccumuloFeatureWriter.scala``
+fanning a feature out to record/Z3/ST/attr tables with engineered keys, plus
+pre-split sharding ``ACC/index/QueryPlanners.scala:399-407``) as ONE columnar
+table carrying computed key columns:
+
+* ``week``  — epoch-week partition column (the Z3 table's 2-byte week prefix)
+* ``z3``    — 21/21/20-bit Morton key, the sort column inside each partition
+* ``z2``    — spatial-only Morton key (for time-unbounded queries)
+* ``shard`` — hash salt, bounded write/read parallelism per week
+  (the ST schema's ``%999#r`` random-shard analog, explicit skew mitigation)
+
+At 100 TB the layout is what makes queries cheap: partition pruning on
+``week``, Parquet row-group min/max skipping on the z-sorted ``z3`` column,
+and the shard salt keeping any single (week, cell-prefix) hot spot spread
+over ``n_shards`` files. All key computation is built-in Column expressions
+(whole-stage codegen), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions.zexpr import week_expr
+from geomesa_spark.functions.zudf import z2_udf, z3_udf
+from geomesa_spark.plans.compiler import GeoTable
+
+
+def enrich_geo(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str | None = "dtg",
+    fid: str | None = "id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Add (week, z3, z2, shard) index-key columns.
+
+    z-keys come from the Arrow-batched numpy encoders (see
+    ``functions/zudf.py`` for why not Column expressions); week/shard are
+    trivial JVM expressions.
+    """
+    out = df.withColumn("z2", z2_udf(F.col(lon), F.col(lat)))
+    if dtg is not None:
+        out = out.withColumn("week", week_expr(F.col(dtg))).withColumn(
+            "z3", z3_udf(F.col(lon), F.col(lat), F.col(dtg).cast("long"))
+        )
+    salt_src = F.col(fid).cast("string") if fid else F.concat_ws(",", F.col(lon), F.col(lat))
+    out = out.withColumn("shard", F.pmod(F.xxhash64(salt_src), F.lit(n_shards)).cast("int"))
+    return out
+
+
+def write_layout(
+    df: DataFrame,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str | None = "dtg",
+    fid: str | None = "id",
+    n_shards: int = 16,
+    target_partitions: int | None = None,
+) -> None:
+    """Write the engine's physical layout to parquet.
+
+    Range-repartition by (week, shard, z3) then sort within partitions by z3
+    so every output file covers a tight z interval -> row-group min/max
+    skipping approximates the reference's key-range scans. Directory
+    partitioning on week gives partition pruning for bounded-time queries.
+    """
+    enriched = enrich_geo(df, lon, lat, dtg, fid, n_shards)
+    parts = target_partitions or max(df.sparkSession.sparkContext.defaultParallelism, n_shards)
+    if dtg is not None:
+        enriched = enriched.repartitionByRange(parts, F.col("week"), F.col("shard"), F.col("z3"))
+        enriched = enriched.sortWithinPartitions("week", "z3")
+        enriched.write.mode("overwrite").partitionBy("week").parquet(path)
+    else:
+        enriched = enriched.repartitionByRange(parts, F.col("shard"), F.col("z2"))
+        enriched = enriched.sortWithinPartitions("z2")
+        enriched.write.mode("overwrite").parquet(path)
+
+
+def read_layout(
+    spark: SparkSession,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str | None = "dtg",
+    fid: str | None = "id",
+) -> GeoTable:
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    return GeoTable(
+        df=df,
+        lon=lon,
+        lat=lat,
+        dtg=dtg,
+        fid=fid,
+        week_col="week" if "week" in cols else None,
+        z3_col="z3" if "z3" in cols else None,
+        z2_col="z2" if "z2" in cols else None,
+    )
+
+
+def as_geotable(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str | None = "dtg",
+    fid: str | None = "id",
+    n_shards: int = 16,
+) -> GeoTable:
+    """Enrich an in-memory DataFrame and wrap it as a queryable GeoTable."""
+    enriched = enrich_geo(df, lon, lat, dtg, fid, n_shards)
+    return GeoTable(
+        df=enriched,
+        lon=lon,
+        lat=lat,
+        dtg=dtg,
+        fid=fid,
+        week_col="week" if dtg else None,
+        z3_col="z3" if dtg else None,
+        z2_col="z2",
+    )
