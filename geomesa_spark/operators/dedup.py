@@ -1,0 +1,229 @@
+"""Document deduplication operators (exact, MinHash-LSH, SimHash, n-gram).
+
+Beyond the reference's feature-id dedupe
+(``ACC/iterators/DeDuplicatingIterator.scala``), these are the content-dedup
+operators a web-scale training-data pipeline needs. All signature computation
+is Arrow-batched numpy (one matrix op per batch); candidate generation is
+band-bucket equi-joins so the all-pairs comparison never materializes —
+at 10^12 docs the only shuffles are on (band, bucket-hash) keys, and the
+verify step touches candidate pairs only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic MinHash seeds (fixed so runs are reproducible/resumable)
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, shingle_words: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < shingle_words:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i : i + shingle_words]) for i in range(len(toks) - shingle_words + 1)]
+    # stable 63-bit hashes of shingles
+    import zlib
+
+    return np.unique(np.array(
+        [((zlib.crc32(g.encode()) << 31) | zlib.adler32(g.encode())) & ((1 << 62) - 1) for g in grams],
+        dtype=np.int64,
+    ))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text (hash groupBy).
+
+    One shuffle on the 128-bit content hash; the text itself never shuffles
+    (only hash + id), which is what makes this viable at 100 TB.
+    """
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    keep = h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "content_hash").orderBy(id_col)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
+    shingle_words: int = 3, seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature (array<long>, length n_hashes)."""
+    a, b = _hash_params(n_hashes, seed)
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t or "", shingle_words)
+            # (a*x + b) mod p for all hash funcs x shingles -> min per func
+            vals = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
+    bands: int = 16, shingle_words: int = 3, threshold: float = 0.5, seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    shingle -> minhash -> split signature into ``bands`` bands -> bucket-join
+    docs sharing any band -> estimate Jaccard from full signatures ->
+    keep pairs with est >= threshold. Returns (id_a, id_b, est_jaccard),
+    id_a < id_b, deduplicated.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_words, seed)
+
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("minhash")[i * rows_per_band + j].cast("string")
+                for j in range(rows_per_band)
+            ])).alias("bucket"),
+        )
+        for i in range(bands)
+    ])
+    exploded = sigs.withColumn("bb", F.explode(band_cols)).select(
+        F.col(id_col), "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.minhash").alias("mh_a"),
+            F.col("r.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(n_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, seed: int = 42) -> DataFrame:
+    """64-bit SimHash per document (token-hash weighted bit votes)."""
+
+    @F.pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hs = np.array(
+                [((zlib.crc32(w.encode()) << 31) | zlib.adler32(w.encode())) & ((1 << 63) - 1) for w in toks],
+                dtype=np.int64,
+            )
+            bits = ((hs[:, None] >> np.arange(63)[None, :]) & 1) * 2 - 1
+            vec = bits.sum(axis=0)
+            out[i] = int(((vec > 0).astype(np.int64) << np.arange(63)).sum())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 63 bits into 4 chunks (pigeonhole:
+    any pair within hamming distance 3 shares at least one exact chunk),
+    bucket-join, verify hamming distance exactly."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+        )
+        for i in range(4)
+    ])
+    exploded = sigs.withColumn("c", F.explode(chunks)).select(
+        F.col(id_col), "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over LSH candidates (verify stage).
+
+    Candidates come from MinHash LSH (cheap); this recomputes the exact
+    Jaccard for surviving pairs with a cogrouped pandas step.
+    """
+    cands = minhash_lsh_pairs(df, text_col, id_col, threshold=max(0.0, threshold - 0.2))
+    texts = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    paired = (
+        cands.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed("__text", "text_a"), "id_a")
+        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed("__text", "text_b"), "id_b")
+    )
+
+    @F.pandas_udf("double")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            wx, wy = (x or "").split(), (y or "").split()
+            sx = {" ".join(wx[j : j + n]) for j in range(max(1, len(wx) - n + 1))}
+            sy = {" ".join(wy[j : j + n]) for j in range(max(1, len(wy) - n + 1))}
+            u = len(sx | sy)
+            out[i] = (len(sx & sy) / u) if u else 0.0
+        return pd.Series(out)
+
+    return (
+        paired.withColumn("jaccard", jac(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

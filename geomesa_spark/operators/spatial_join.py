@@ -1,0 +1,198 @@
+"""Spatial join: point-in-polygon / intersects via cell-cover prefilter + exact test.
+
+This is the engine's core deliverable, rebuilding the reference's implicit
+spatial-join machinery — polygon decomposition into geohash covers
+(``UTL/geohash/GeohashUtils.scala:638-702,915-1063``), coarse cell prefilter +
+exact JTS residual inside iterators, and ``QueryProcess``
+(``ACC/process/query/QueryProcess.scala:28-86``) — as an idiomatic Spark plan:
+
+1. each polygon is decomposed driver-side into XYZ-tile cells at a
+   per-polygon adaptive level (bounded cover size, like the reference's
+   <=maxSize geohash decomposition);
+2. the cover table (poly_id, cell) is **broadcast** (build sides are small:
+   reference polygon sets, admin boundaries, ...);
+3. points compute their cell id per cover level with pure-arithmetic JVM
+   expressions and equi-join on cell — a map-side join, no shuffle of the
+   100 TB probe side, no skew (hot cells fan out to at most #levels rows);
+4. exact residual: axis-aligned boxes verify with plain column arithmetic
+   (whole-stage codegen); general polygons verify in one Arrow-batched
+   pandas UDF that groups each batch by polygon and runs the vectorized
+   numpy point-in-ring kernel.
+
+A point matches a polygon through exactly one cell per level, so no
+dedup pass is needed (the reference's geohash-duplicate dedupe,
+``ACC/iterators/DeDuplicatingIterator.scala``, is designed away).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.cells.tiles import tiles_for_bbox
+from geomesa_spark.functions.zexpr import tile_id_expr
+from geomesa_spark.geom.kernels import points_in_polygon
+from geomesa_spark.geom.wkt import Geometry, parse_wkt
+from geomesa_spark.plans.compiler import GeoTable, _is_axis_aligned_box
+
+
+def _cover_level(bbox: tuple, max_cells: int = 64, max_level: int = 18) -> int:
+    """Finest level whose tile grid covers the bbox with <= max_cells tiles."""
+    dlon = max(1e-9, bbox[2] - bbox[0])
+    dlat = max(1e-9, bbox[3] - bbox[1])
+    for level in range(max_level, -1, -1):
+        nx = dlon / (360.0 / (1 << level)) + 2
+        ny = dlat / (180.0 / (1 << level)) + 2
+        if nx * ny <= max_cells:
+            return level
+    return 0
+
+
+def polygon_covers(polys: list[tuple[str, str]], max_cells: int = 64) -> pd.DataFrame:
+    """Decompose (poly_id, wkt) -> cover rows (poly_id, level, cell, is_box, ...).
+
+    For boxes the exact bounds ride along so the residual stays pure
+    arithmetic; general polygons carry their WKT for the PIP kernel.
+    """
+    rows = []
+    for pid, wkt in polys:
+        g = parse_wkt(wkt)
+        b = g.bbox()
+        level = _cover_level(b, max_cells=max_cells)
+        is_box = _is_axis_aligned_box(g)
+        for cell in tiles_for_bbox(b[0], b[1], b[2], b[3], level):
+            rows.append((pid, level, int(cell), is_box, b[0], b[1], b[2], b[3], wkt))
+    return pd.DataFrame(
+        rows,
+        columns=["poly_id", "level", "cell", "is_box",
+                 "p_lon_min", "p_lat_min", "p_lon_max", "p_lat_max", "wkt"],
+    )
+
+
+def spatial_join(
+    points: GeoTable,
+    polys: list[tuple[str, str]] | DataFrame,
+    max_cells: int = 64,
+    keep_wkt: bool = False,
+) -> DataFrame:
+    """Inner join: point rows x polygons containing them (boundary inclusive).
+
+    ``polys``: list of (poly_id, wkt) or a DataFrame with those columns
+    (collected to the driver — the build side is small by design; for huge
+    polygon sets, shard the call).
+    Returns the point columns + ``poly_id``.
+    """
+    spark = points.df.sparkSession
+    if isinstance(polys, DataFrame):
+        polys = [(r["poly_id"], r["wkt"]) for r in polys.collect()]
+
+    cover_pdf = polygon_covers(polys, max_cells=max_cells)
+    if cover_pdf.empty:
+        return points.df.limit(0).withColumn("poly_id", F.lit("")).drop("__never__")
+    covers = spark.createDataFrame(cover_pdf)
+
+    levels = sorted(cover_pdf["level"].unique())
+    lon, lat = F.col(points.lon), F.col(points.lat)
+
+    # one arithmetic cell id per distinct cover level; explode to (level, cell)
+    cells = F.array(*[
+        F.struct(F.lit(int(l)).alias("level"), tile_id_expr(lon, lat, int(l)).alias("cell"))
+        for l in levels
+    ])
+    pts = points.df.withColumn("__lc", F.explode(cells)).withColumn(
+        "cell", F.col("__lc.cell")
+    ).drop("__lc")
+
+    joined = pts.join(F.broadcast(covers), on="cell", how="inner")
+
+    # exact residual, box fast path (pure codegen)
+    box_ok = (
+        F.col("is_box")
+        & lon.between(F.col("p_lon_min"), F.col("p_lon_max"))
+        & lat.between(F.col("p_lat_min"), F.col("p_lat_max"))
+    )
+    coarse_ok = lon.between(F.col("p_lon_min"), F.col("p_lon_max")) & lat.between(
+        F.col("p_lat_min"), F.col("p_lat_max")
+    )
+
+    if bool(cover_pdf["is_box"].all()):
+        out = joined.filter(box_ok)
+    else:
+        pip = _pip_by_poly_udf()
+        out = joined.filter(
+            F.when(F.col("is_box"), box_ok).otherwise(
+                coarse_ok & pip(lon, lat, F.col("wkt"))
+            )
+        )
+    drop = ["cell", "level", "is_box", "p_lon_min", "p_lat_min", "p_lon_max", "p_lat_max"]
+    if not keep_wkt:
+        drop.append("wkt")
+    return out.drop(*drop)
+
+
+def _pip_by_poly_udf():
+    """Batch PIP: group each Arrow batch by polygon WKT, test vectorized."""
+
+    @F.pandas_udf("boolean")
+    def pip(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = pd.Series(False, index=lon.index)
+        lons = lon.to_numpy()
+        lats = lat.to_numpy()
+        for w, idx in wkt.groupby(wkt).groups.items():
+            g = parse_wkt(w)
+            pos = wkt.index.get_indexer(idx)
+            out.iloc[pos] = points_in_polygon(lons[pos], lats[pos], g)
+        return out
+
+    return pip
+
+
+def proximity_join(
+    points: GeoTable,
+    sites: list[tuple[str, float, float]],
+    distance_m: float,
+) -> DataFrame:
+    """Features within ``distance_m`` meters of any site (site_id attached).
+
+    Rebuilds ``ProximitySearchProcess`` (``ACC/process/proximity/
+    ProximitySearchProcess.scala:31-119``): each input feature is buffered and
+    the union of DWITHIN filters evaluated — here as a broadcast join against
+    buffered-bbox covers + exact haversine residual (codegen arithmetic).
+    """
+    from geomesa_spark.geom.kernels import meters_to_degrees
+
+    spark = points.df.sparkSession
+    rows = []
+    for sid, slon, slat in sites:
+        d = meters_to_degrees(distance_m, slat)
+        rows.append((sid, float(slon), float(slat),
+                     slon - d, slat - d, slon + d, slat + d))
+    sites_df = spark.createDataFrame(
+        rows, "site_id string, s_lon double, s_lat double, "
+              "b_lon_min double, b_lat_min double, b_lon_max double, b_lat_max double"
+    )
+    lon, lat = F.col(points.lon), F.col(points.lat)
+    joined = points.df.join(
+        F.broadcast(sites_df),
+        lon.between(F.col("b_lon_min"), F.col("b_lon_max"))
+        & lat.between(F.col("b_lat_min"), F.col("b_lat_max")),
+        "inner",
+    )
+    R = 6_371_008.8
+    rlat1 = F.radians(lat)
+    rlat2 = F.radians(F.col("s_lat"))
+    a = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(F.radians(F.col("s_lon") - lon) / 2), 2)
+    )
+    dist = F.lit(2.0 * R) * F.asin(F.sqrt(F.least(F.lit(1.0), a)))
+    return (
+        joined.withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= F.lit(float(distance_m)))
+        .drop("b_lon_min", "b_lat_min", "b_lon_max", "b_lat_max")
+    )

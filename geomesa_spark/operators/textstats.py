@@ -1,0 +1,157 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprinting.
+
+Web-scale training-data companions to the converter/filter function library
+(``CNV/.../Transformers.scala``). Quality metrics and token counts are pure
+built-in expressions (SQL-oracle-checkable); language-ID and the rolling-hash
+fingerprint are Arrow-batched numpy UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "por"],
+    "pt": ["o", "a", "os", "que", "de", "um", "uma", "para"],
+    "ru": ["и", "в", "не", "на", "что", "это", "как", "по"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "不"],
+    "ar": ["في", "من", "على", "أن", "إلى", "هذا", "ما", "لا"],
+    "hi": ["के", "में", "है", "की", "और", "से", "का", "को"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て"],
+}
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count as a built-in expression."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_like_token_count_col(text: Column) -> Column:
+    """BPE-ish token estimate: count word/number/punct runs via regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+
+
+def text_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality metrics (all built-in expressions):
+
+    n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio (English), quality_score (weighted mix).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_col(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(t), r"\s+"),
+            lambda w: w.isin(*_LANG_MARKERS["en"]),
+        )
+    )
+    safe_chars = F.greatest(F.lit(1), n_chars).cast("double")
+    safe_toks = F.greatest(F.lit(1), n_tokens).cast("double")
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    upper_ratio = n_upper / safe_chars
+    stop_ratio = n_stop / safe_toks
+    mean_tok = safe_chars / safe_toks
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(0.5), punct_ratio)
+        - F.least(F.lit(0.3), digit_ratio)
+        + F.least(F.lit(0.2), stop_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: stopword-marker vote over the profile table.
+
+    Arrow-batched; ties/no-signal resolve to 'und'. (A deterministic
+    classifier, not a model — the Spark-side shape matches what a real
+    fastText-style scorer would use.)
+    """
+    langs = list(_LANG_MARKERS)
+    markers = {l: set(ws) for l, ws in _LANG_MARKERS.items()}
+
+    @F.pandas_udf("string")
+    def lid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append("und")
+                continue
+            scores = [(sum(1 for w in toks if w in markers[l]), l) for l in langs]
+            best = max(scores, key=lambda x: (x[0], -langs.index(x[1])))
+            out.append(best[1] if best[0] > 0 else "und")
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), lid(F.col(text_col)).alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, window: int = 16) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (robust doc identity).
+
+    Polynomial rolling hash over normalized bytes; the fingerprint is the
+    min-hash of each ``window``-gram, folded to one 63-bit value. Documents
+    differing only in whitespace/case share fingerprints.
+    """
+
+    @F.pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        B = np.int64(1000003)
+        out = np.zeros(len(texts), dtype=np.int64)
+        mask = np.int64((1 << 62) - 1)
+        for i, t in enumerate(texts):
+            norm = " ".join((t or "").lower().split()).encode("utf-8")
+            a = np.frombuffer(norm, dtype=np.uint8).astype(np.int64)
+            if len(a) == 0:
+                continue
+            if len(a) < window:
+                h = np.int64(0)
+                for v in a:
+                    h = (h * B + v) & mask
+                out[i] = h
+                continue
+            # rolling hashes of all window-grams, vectorized via cumulative trick
+            powers = np.zeros(window, dtype=np.int64)
+            powers[0] = 1
+            for j in range(1, window):
+                powers[j] = (powers[j - 1] * B) & mask
+            n = len(a) - window + 1
+            hs = np.zeros(n, dtype=np.int64)
+            h = np.int64(0)
+            for j in range(window):
+                h = (h * B + a[j]) & mask
+            hs[0] = h
+            top = powers[window - 1]
+            for j in range(1, n):
+                h = ((h - a[j - 1] * top) * B + a[j + window - 1]) & mask
+                hs[j] = h
+            out[i] = hs.min()
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))

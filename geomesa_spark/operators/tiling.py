@@ -1,0 +1,92 @@
+"""Tile assignment and tile-pyramid rollups (raster <-> vector bridge).
+
+Rebuilds the reference's raster-index chunking and query planning
+(``RAS/index/RasterEntry.scala:58-86`` keys ``lexiEncode(res)~geohash``;
+``RAS/data/AccumuloRasterQueryPlanner.scala:34-110`` resolution selection +
+bbox cell enumeration + neighbors; mosaic ``RAS/util/RasterUtils.scala:112-160``)
+on the XYZ tile pyramid:
+
+* :func:`assign_tiles` — every feature gets a ``tile_id`` per requested level
+  (pure arithmetic, codegen); this is the vector->tile assignment used for
+  tile-pyramid materialization at 10^12 scale (partition by tile_id).
+* :func:`tile_counts` / :func:`tile_rollup` — per-tile aggregates; rolling a
+  level up to its parent is integer arithmetic on (x, y) >> 1.
+* :func:`mosaic` — grouped compositing of chunk payloads per output tile via
+  ``applyInPandas`` (image decode is stubbed deterministically; the container
+  has no imaging libs — the Spark-side grouping/partitioning is the real part).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions.zexpr import tile_id_expr
+from geomesa_spark.plans.compiler import GeoTable
+
+
+def assign_tiles(table: GeoTable, levels: list[int]) -> DataFrame:
+    """Add ``tile_id_l{level}`` columns (one per pyramid level)."""
+    df = table.df
+    for level in levels:
+        df = df.withColumn(
+            f"tile_id_l{level}",
+            tile_id_expr(F.col(table.lon), F.col(table.lat), level),
+        )
+    return df
+
+
+def tile_counts(table: GeoTable, level: int, weight_col: str | None = None) -> DataFrame:
+    """Feature count (or weight sum) per tile at one level."""
+    tid = tile_id_expr(F.col(table.lon), F.col(table.lat), level)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return table.df.groupBy(tid.alias("tile_id")).agg(F.sum(w).alias("weight"))
+
+
+def tile_rollup(tile_df: DataFrame, from_level: int, to_level: int) -> DataFrame:
+    """Aggregate per-tile weights up the pyramid: child -> parent tiles.
+
+    tile_id encodes (level, x, y) as level*2^52 + x*2^26 + y; the parent at
+    level-1 is (x >> 1, y >> 1). Pure integer arithmetic, re-aggregated with
+    a hash agg per level step (each step shrinks the data 4x).
+    """
+    assert to_level < from_level
+    df = tile_df
+    for level in range(from_level, to_level, -1):
+        x = ((F.col("tile_id") - F.lit(level * (1 << 52))) / F.lit(1 << 26)).cast("long")
+        y = F.col("tile_id") - F.lit(level * (1 << 52)) - x * F.lit(1 << 26)
+        parent = (
+            F.lit((level - 1) * (1 << 52))
+            + F.shiftright(x, 1) * F.lit(1 << 26)
+            + F.shiftright(y, 1)
+        )
+        df = df.groupBy(parent.alias("tile_id")).agg(F.sum("weight").alias("weight"))
+    return df
+
+
+def mosaic(chunks: DataFrame, out_level: int) -> DataFrame:
+    """Composite chunk payloads per output tile (``mosaicChunks`` analog).
+
+    ``chunks``: (tile_id long, payload binary, weight double). Image
+    compositing itself is STUBBED (no imaging libraries in this
+    environment): the composite is a deterministic byte-reduce (xor-fold)
+    standing in for alpha blending. The distributed shape — groupBy tile,
+    bounded group size, applyInPandas — is the real deliverable.
+    """
+
+    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = bytearray(256)
+        for payload in pdf["payload"]:
+            if payload is None:
+                continue
+            b = bytes(payload)
+            for i, v in enumerate(b[:256]):
+                buf[i % 256] ^= v
+        return pd.DataFrame(
+            {"tile_id": [key[0]], "n_chunks": [len(pdf)], "composite": [bytes(buf)]}
+        )
+
+    return chunks.groupBy("tile_id").applyInPandas(
+        composite, "tile_id long, n_chunks long, composite binary"
+    )

@@ -1,0 +1,120 @@
+"""Common-Crawl-style web-pages table: synthesis, ingest, geoparse.
+
+The engine's primary input per BASELINE.json input_hint:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+* :func:`webpages_from_documents` derives the table deterministically from
+  the driver-provided ``documents.parquet`` (no external data): url/warc_ts
+  are arithmetic on ``doc_id``, html is a templated page embedding ``text``.
+* :func:`extract_text` is the ingest/convert pipeline (the reference's
+  converter chain, ``CNV/geomesa-convert-text/.../DelimitedTextConverter``,
+  re-expressed as pure column transforms). **Invariant**: byte-identical
+  extracted text per url — ``extract_text(html) == text`` exactly (tested).
+* :func:`geoparse` is the deterministic url/text -> point derivation
+  (FIXTURES.md F1): pure integer arithmetic so an ANSI-SQL oracle reproduces
+  it bit-for-bit.
+* :func:`synth_webpages` generates arbitrarily large page tables from
+  ``spark.range`` (for benchmarks; fully distributed generation, no driver
+  materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_EPOCH = "2010-05-07 00:00:00"
+
+_WORDS = [
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
+    "window", "small", "hash", "join", "batch", "stream", "spark", "dup",
+]
+_LANGS = ["en", "de", "fr", "es", "pt", "ru", "zh", "ar", "hi", "ja"]
+
+
+def _url_expr(doc_id: Column, lang: Column) -> Column:
+    return F.format_string(
+        "https://site%d.example/%s/page/%d", doc_id % 1000, lang, doc_id
+    )
+
+
+def _warc_ts_expr(doc_id: Column) -> Column:
+    return F.timestamp_seconds(
+        F.unix_timestamp(F.lit(WARC_EPOCH), "yyyy-MM-dd HH:mm:ss") + doc_id * 97
+    )
+
+
+def _html_expr(doc_id: Column, text: Column) -> Column:
+    page = F.concat(
+        F.lit("<html><head><title>doc"),
+        doc_id.cast("string"),
+        F.lit("</title></head><body><p>"),
+        text,
+        F.lit("</p></body></html>"),
+    )
+    return F.encode(page, "UTF-8")
+
+
+def webpages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (url, warc_ts, html, text, lang) + doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    return docs.select(
+        did,
+        _url_expr(did, F.col("lang")).alias("url"),
+        _warc_ts_expr(did).alias("warc_ts"),
+        _html_expr(did, F.col("text")).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def extract_text(html: Column) -> Column:
+    """The deterministic ingest transform: html bytes -> extracted text.
+
+    Byte-identical-per-url invariant: for pages built by ``_html_expr``,
+    ``extract_text(html) == text`` exactly.
+    """
+    s = F.decode(html, "UTF-8")
+    body = F.substring_index(F.substring_index(s, "<p>", -1), "</p>", 1)
+    return body
+
+
+def geoparse(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic geoparse: doc -> point (lon, lat).
+
+    FIXTURES.md F1 rule, pure integer arithmetic (SQL-oracle-replicable):
+        lon = -180 + (id*7919  % 36000)/100
+        lat =  -90 + (id*104729 % 18000)/100
+    """
+    i = F.col(id_col).cast("long")
+    return df.withColumn(
+        "lon", (F.lit(-180.0) + ((i * 7919) % 36000) / 100.0).cast("double")
+    ).withColumn(
+        "lat", (F.lit(-90.0) + ((i * 104729) % 18000) / 100.0).cast("double")
+    )
+
+
+def synth_webpages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic large-scale page generator (seedless arithmetic — the
+    whole table is a pure function of the row id, so it is reproducible,
+    resumable, and generated fully distributed)."""
+    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    lang = F.element_at(
+        F.array(*[F.lit(l) for l in _LANGS]), (i % 10 + 1).cast("int")
+    )
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    text = F.concat_ws(
+        " ",
+        *[F.element_at(words, ((i * (j + 7) + j * j) % len(_WORDS) + 1).cast("int"))
+          for j in range(24)],
+    )
+    return df.select(
+        i.alias("doc_id"),
+        _url_expr(i, lang).alias("url"),
+        _warc_ts_expr(i).alias("warc_ts"),
+        _html_expr(i, text).alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )

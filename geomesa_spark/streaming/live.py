@@ -1,0 +1,110 @@
+"""Streaming view semantics: live upsert cache with TTL, and replay.
+
+Rebuilds the reference's Kafka feature-store consumers:
+
+* Live view (``KFK/LiveKafkaConsumerFeatureSource.scala:28-191``): consume
+  ``GeoMessage``s — CreateOrUpdate(id, feature) | Delete(id) | Clear — into a
+  keyed upsert cache with expire-after-write TTL. Here:
+  ``readStream -> applyInPandasWithState`` keyed by feature id with a
+  processing-time timeout implementing the TTL eviction.
+* Replay / time travel (``KFK/ReplayKafkaConsumerFeatureSource.scala:32-123``):
+  a query at time T sees the state reconstructed from messages in
+  ``[T - read_behind, T]``. Here a *batch* reconstruction over the message
+  log: window-limited last-update-per-id minus deletes/clears —
+  the snapshot is a plain DataFrame (and SQL-oracle-checkable).
+
+Message schema (FIXTURES.md F6):
+``offset long, kind string (create|delete|clear), id string,
+lon double, lat double, ts timestamp``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def replay_snapshot(messages: DataFrame, at: datetime, read_behind_s: float | None = None) -> DataFrame:
+    """State at time ``at``: last create/update per id wins; deletes remove;
+    a ``clear`` discards everything at or before it (``ReplayConfig`` and the
+    snapshot reconstruction at ``ReplayKafkaConsumerFeatureSource.scala:111-123``).
+    """
+    ts_at = F.lit(at.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
+    win = messages.filter(F.col("ts") <= ts_at)
+    if read_behind_s is not None:
+        lo = at - timedelta(seconds=read_behind_s)
+        win = win.filter(F.col("ts") >= F.lit(lo.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp"))
+
+    last_clear = win.filter(F.col("kind") == "clear").agg(
+        F.max("offset").alias("clear_offset")
+    )
+    with_clear = win.crossJoin(F.broadcast(last_clear)).filter(
+        F.col("clear_offset").isNull() | (F.col("offset") > F.col("clear_offset"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("offset").desc())
+    latest = (
+        with_clear.filter(F.col("kind").isin("create", "delete"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "clear_offset")
+    )
+    return latest.filter(F.col("kind") == "create").select("id", "lon", "lat", "ts")
+
+
+def live_view(message_stream: DataFrame, ttl_seconds: float = 300.0) -> DataFrame:
+    """Streaming keyed upsert with TTL over a message stream.
+
+    Input: a *streaming* DataFrame with the message schema above. Output: a
+    streaming DataFrame of (id, lon, lat, ts, alive) state changes; downstream
+    sinks (memory table / parquet) hold the live snapshot. TTL is enforced
+    with ``GroupStateTimeout.ProcessingTimeTimeout`` — the expire-after-write
+    cache eviction of the reference's live view.
+    """
+
+    out_schema = "id string, lon double, lat double, ts timestamp, alive boolean"
+    state_schema = "lon double, lat double, ts timestamp"
+
+    def update(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"id": [key[0]], "lon": [None], "lat": [None], "ts": [None], "alive": [False]}
+            )
+            return
+        last = None
+        deleted = False
+        for pdf in batches:
+            pdf = pdf.sort_values("offset")
+            for _, row in pdf.iterrows():
+                if row["kind"] in ("delete", "clear"):
+                    deleted = True
+                    last = None
+                elif row["kind"] == "create":
+                    deleted = False
+                    last = (row["lon"], row["lat"], row["ts"])
+        if deleted and last is None:
+            state.remove()
+            yield pd.DataFrame(
+                {"id": [key[0]], "lon": [None], "lat": [None], "ts": [None], "alive": [False]}
+            )
+        elif last is not None:
+            state.update(last)
+            state.setTimeoutDuration(int(ttl_seconds * 1000))
+            yield pd.DataFrame(
+                {"id": [key[0]], "lon": [last[0]], "lat": [last[1]],
+                 "ts": [last[2]], "alive": [True]}
+            )
+
+    return message_stream.groupBy("id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
