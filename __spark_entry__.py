@@ -1,38 +1,643 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (geoparse -> spatial join -> tile
+assignment, the BASELINE.json headline metric) at sf0.001. ``queries``
+exposes one entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / ANN / text analysis);
+``oracle_sql`` gives the DuckDB-equivalent SQL for every query whose
+semantics are ANSI-SQL-expressible. Column names/types are aligned on both
+sides (the driver hash-compares values after sorting columns by name).
+
+Determinism notes (so the DuckDB oracle matches bit-for-bit):
+* session timezone is forced to UTC in every builder (timestamps in the
+  parquet are naive/UTC; DuckDB treats them the same way);
+* geoparse/grid/tile keys are pure integer-and-double arithmetic written in
+  the exact same operation order in both engines;
+* distance comparisons (haversine) mirror operation-for-operation; outputs
+  expose ids/ranks, never raw floats of transcendental results.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.aggregations import (
+    bounds,
+    count_by_day,
+    density,
+    temporal_density,
+    unique_histogram,
+)
+from geomesa_spark.operators.ann import cosine_topk
+from geomesa_spark.operators.bin_export import bin_records
+from geomesa_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from geomesa_spark.operators.knn import knn_join
+from geomesa_spark.operators.spatial_join import proximity_join, spatial_join
+from geomesa_spark.operators.textstats import fingerprint, language_id, text_quality
+from geomesa_spark.operators.tiling import tile_counts, tile_rollup
+from geomesa_spark.operators.tube import tube_select
+from geomesa_spark.plans.compiler import GeoTable, query
+from geomesa_spark.sources.layout import as_geotable
+from geomesa_spark.sources.webpages import extract_text, geoparse, webpages_from_documents
+
+# ---------------------------------------------------------------------------
+# shared fixtures (deterministic, embedded in both engines)
+# ---------------------------------------------------------------------------
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# geoparse arithmetic (sources/webpages.py geoparse) as a DuckDB CTE
+_PTS_CTE = (
+    "pts AS (SELECT *, "
+    "CAST(-180.0 + (event_id * 7919 % 36000) / 100.0 AS DOUBLE) AS lon, "
+    "CAST(-90.0 + (event_id * 104729 % 18000) / 100.0 AS DOUBLE) AS lat, "
+    "CAST(floor(epoch(ts)) AS BIGINT) AS secs "
+    "FROM events)"
+)
+
+# spatial fixtures: corners at *.005 so no geoparsed grid point (always at
+# hundredths) ever sits exactly on a boundary -> inclusive/exclusive agnostic
+_BOXES = [
+    ("box_eu", -10.005, 35.005, 30.005, 60.005),
+    ("box_na", -125.005, 25.005, -65.005, 50.005),
+    ("box_au", 110.005, -45.005, 155.005, -10.005),
+]
+_TRI = (
+    ("tri_a", (-20.005, -10.005), (40.005, -10.005), (10.005, 50.005)),
+)
+_KNN_QUERIES = [("q0", 0.0, 0.0), ("q1", 100.0, 40.0), ("q2", -150.0, -70.0), ("q3", 20.0, 60.0)]
+_SITES = [("s0", 10.0, 20.0), ("s1", -100.0, 40.0), ("s2", 140.0, -30.0)]
+_PROX_M = 300_000.0
+_DW_LON, _DW_LAT, _DW_M = 10.0, 20.0, 500_000.0
+_TRACK = [
+    (datetime(2024, 1, 2, 0, 0, tzinfo=timezone.utc), -50.0, -20.0),
+    (datetime(2024, 1, 2, 6, 0, tzinfo=timezone.utc), -30.0, -10.0),
+    (datetime(2024, 1, 2, 12, 0, tzinfo=timezone.utc), -10.0, 0.0),
+]
+_TUBE_BUFFER_M = 2_000_000.0
+_TUBE_BIN_S = 21_600.0
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _events_pts(spark: SparkSession, sf_dir: str) -> GeoTable:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return GeoTable(geoparse(ev, "event_id"), lon="lon", lat="lat", dtg="ts", fid="event_id")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _poly_wkts() -> list[tuple[str, str]]:
+    polys = [
+        (pid, f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+        for pid, x0, y0, x1, y1 in _BOXES
+    ]
+    for pid, a, b, c in _TRI:
+        polys.append((
+            pid,
+            f"POLYGON(({a[0]} {a[1]}, {b[0]} {b[1]}, {c[0]} {c[1]}, {a[0]} {a[1]}))",
+        ))
+    return polys
+
+
+# haversine SQL mirroring operators/knn.py::_haversine_cols operation order
+def _hav_sql(qlon: str, qlat: str) -> str:
+    return (
+        f"2.0 * 6371008.8 * asin(sqrt(least(1.0, "
+        f"pow(sin((radians({qlat}) - radians(lat)) / 2), 2) "
+        f"+ cos(radians(lat)) * cos(radians({qlat})) "
+        f"* pow(sin(radians({qlon} - lon) / 2), 2))))"
+    )
+
+
+def _tri_sql(pt=("lon", "lat")) -> str:
+    """Half-plane membership test for the (CCW) fixture triangle."""
+    (ax, ay), (bx, by), (cx, cy) = _TRI[0][1], _TRI[0][2], _TRI[0][3]
+    px, py = pt
+    e = []
+    for (x1, y1), (x2, y2) in [((ax, ay), (bx, by)), ((bx, by), (cx, cy)), ((cx, cy), (ax, ay))]:
+        e.append(f"(({x2!r} - {x1!r}) * ({py} - {y1!r}) - ({y2!r} - {y1!r}) * ({px} - {x1!r})) > 0")
+    return "(" + " AND ".join(e) + ")"
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geoparse web pages -> spatial join vs polygon set -> tile
+    assignment (the BASELINE.json headline operation) at sf0.001."""
+    _utc(spark)
+    pages = webpages_from_documents(spark, SF_DEFAULT)
+    pages = pages.withColumn("text_ok", extract_text(F.col("html")) == F.col("text"))
+    pts = geoparse(pages, "doc_id")
+    t = GeoTable(pts, lon="lon", lat="lat", dtg="warc_ts", fid="doc_id")
+    joined = spatial_join(t, _poly_wkts())
+    from geomesa_spark.functions.zexpr import tile_id_expr
+
+    return joined.select(
+        "doc_id", "url", "poly_id", "lon", "lat", "text_ok",
+        tile_id_expr(F.col("lon"), F.col("lat"), 8).alias("tile_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_bbox(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return query(t, "BBOX(geom, -50, -20, 30, 45)").select("event_id")
+
+
+def _q_bbox_time(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    cql = ("BBOX(geom, -120, -60, 60, 70) AND "
+           "ts DURING 2024-01-05T00:00:00Z/2024-01-20T00:00:00Z")
+    return query(t, cql).select("event_id")
+
+
+def _q_bbox_time_indexed(spark, sf_dir):
+    """Same predicate through the z3 layout path (week + z-range prune)."""
+    t0 = _events_pts(_utc(spark), sf_dir)
+    t = as_geotable(t0.df, lon="lon", lat="lat", dtg="ts", fid="event_id")
+    cql = ("BBOX(geom, -120, -60, 60, 70) AND "
+           "ts DURING 2024-01-05T00:00:00Z/2024-01-20T00:00:00Z")
+    return query(t, cql).select("event_id")
+
+
+def _q_intersects(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    (ax, ay), (bx, by), (cx, cy) = _TRI[0][1], _TRI[0][2], _TRI[0][3]
+    cql = f"INTERSECTS(geom, POLYGON(({ax} {ay}, {bx} {by}, {cx} {cy}, {ax} {ay})))"
+    return query(t, cql).select("event_id")
+
+
+def _q_dwithin(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    cql = f"DWITHIN(geom, POINT({_DW_LON} {_DW_LAT}), {_DW_M}, meters)"
+    return query(t, cql).select("event_id")
+
+
+def _q_attr_filter(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return query(t, "event_type = 'click' AND value >= 50.0").select("event_id")
+
+
+def _q_record_lookup(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return query(t, "event_id IN (5, 42, 999, 4999)").select("event_id", "event_type", "user_id")
+
+
+def _q_or_union(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return query(
+        t, "BBOX(geom, -50, -20, 30, 45) OR event_type = 'error'"
+    ).select("event_id")
+
+
+def _q_knn(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return knn_join(t, _KNN_QUERIES, k=10).select("query_id", "event_id")
+
+
+def _q_proximity(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return proximity_join(t, _SITES, _PROX_M).select("site_id", "event_id")
+
+
+def _q_tube(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return tube_select(t, _TRACK, _TUBE_BUFFER_M, _TUBE_BIN_S).select("tube_bin", "event_id")
+
+
+def _q_spatial_join_boxes(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    polys = [
+        (pid, f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+        for pid, x0, y0, x1, y1 in _BOXES
+    ]
+    return spatial_join(t, polys).select("poly_id", "event_id")
+
+
+def _q_spatial_join_poly(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return spatial_join(t, _poly_wkts()).select("poly_id", "event_id")
+
+
+def _q_density(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return density(t, (-180.0, -90.0, 180.0, 90.0), 64, 32)
+
+
+def _q_temporal_density(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return temporal_density(
+        t,
+        datetime(2024, 1, 1, tzinfo=timezone.utc),
+        datetime(2024, 1, 31, tzinfo=timezone.utc),
+        30,
+    )
+
+
+def _q_unique_hist(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return unique_histogram(t, "event_type", sort_by="count", descending=True)
+
+
+def _q_count_by_day(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return count_by_day(GeoTable(t.df, lon="lon", lat="lat", dtg="ts", fid="event_id"))
+
+
+def _q_bounds(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return bounds(t)
+
+
+def _q_tile_counts(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return tile_counts(t, level=6)
+
+
+def _q_tile_rollup(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return tile_rollup(tile_counts(t, level=6), from_level=6, to_level=4)
+
+
+def _q_bin_records(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return bin_records(t, "user_id").select("track", "secs", "lat", "lon")
+
+
+def _q_geoparse_docs(spark, sf_dir):
+    d = geoparse(_docs(_utc(spark), sf_dir), "doc_id")
+    return d.select("doc_id", "lon", "lat")
+
+
+def _q_extract_text(spark, sf_dir):
+    pages = webpages_from_documents(_utc(spark), sf_dir)
+    return pages.select("doc_id", extract_text(F.col("html")).alias("text"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(_utc(spark), sf_dir), "text", "doc_id")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(_utc(spark), sf_dir), "text", "doc_id", threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash_near_pairs(_docs(_utc(spark), sf_dir), "text", "doc_id", max_hamming=3)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    qs = [(f"q{r['vec_id']}", list(r["embedding"])) for r in qrows]
+    return cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
+
+
+def _q_text_quality(spark, sf_dir):
+    return text_quality(_docs(_utc(spark), sf_dir), "text", "doc_id")
+
+
+def _q_lang_id(spark, sf_dir):
+    return language_id(_docs(_utc(spark), sf_dir), "text", "doc_id")
+
+
+def _q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(_utc(spark), sf_dir), "text", "doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bbox": _q_bbox,
+        "bbox_time": _q_bbox_time,
+        "bbox_time_indexed": _q_bbox_time_indexed,
+        "intersects": _q_intersects,
+        "dwithin": _q_dwithin,
+        "attr_filter": _q_attr_filter,
+        "record_lookup": _q_record_lookup,
+        "or_union": _q_or_union,
+        "knn": _q_knn,
+        "proximity": _q_proximity,
+        "tube": _q_tube,
+        "spatial_join_boxes": _q_spatial_join_boxes,
+        "spatial_join_poly": _q_spatial_join_poly,
+        "density": _q_density,
+        "temporal_density": _q_temporal_density,
+        "unique_hist": _q_unique_hist,
+        "count_by_day": _q_count_by_day,
+        "bounds": _q_bounds,
+        "tile_counts": _q_tile_counts,
+        "tile_rollup": _q_tile_rollup,
+        "bin_records": _q_bin_records,
+        "geoparse_docs": _q_geoparse_docs,
+        "extract_text": _q_extract_text,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_cosine": _q_ann_cosine,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _boxes_values() -> str:
+    return ", ".join(
+        f"('{pid}', {x0!r}, {y0!r}, {x1!r}, {y1!r})" for pid, x0, y0, x1, y1 in _BOXES
+    )
+
+
+def _sites_values() -> str:
+    from geomesa_spark.geom.kernels import meters_to_degrees
+
+    rows = []
+    for sid, slon, slat in _SITES:
+        d = meters_to_degrees(_PROX_M, slat)
+        rows.append(
+            f"('{sid}', {slon!r}, {slat!r}, {slon - d!r}, {slat - d!r}, "
+            f"{slon + d!r}, {slat + d!r})"
+        )
+    return ", ".join(rows)
+
+
+def _tube_values() -> str:
+    from geomesa_spark.geom.kernels import meters_to_degrees
+    from geomesa_spark.operators.tube import build_tube_bins
+
+    rows = []
+    for b, t_lo, t_hi, c_lon, c_lat, r in build_tube_bins(_TRACK, _TUBE_BUFFER_M, _TUBE_BIN_S):
+        d = meters_to_degrees(r, c_lat)
+        rows.append(
+            f"({b}, {t_lo}, {t_hi}, {c_lon!r}, {c_lat!r}, {r!r}, "
+            f"{c_lon - d!r}, {c_lat - d!r}, {c_lon + d!r}, {c_lat + d!r})"
+        )
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # compiler's DWithin residual embeds python-computed constants; mirror them
+    from geomesa_spark.geom.kernels import meters_to_degrees
+
+    dw_deg = meters_to_degrees(_DW_M, _DW_LAT)
+    dw_rlat2 = _DW_LAT * 3.141592653589793 / 180.0
+    dw_hav = (
+        f"2.0 * 6371008.8 * asin(sqrt(least(1.0, "
+        f"pow(sin(({dw_rlat2!r} - radians(lat)) / 2), 2) "
+        f"+ cos(radians(lat)) * cos({dw_rlat2!r}) "
+        f"* pow(sin(radians({_DW_LON!r} - lon) / 2), 2))))"
+    )
+
+    tile6 = (
+        "least(63, greatest(0, CAST(floor((lon - -180.0) / 360.0 * 64.0) AS BIGINT))) AS x, "
+        "least(63, greatest(0, CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT))) AS y"
+    )
+
+    stop_list = "'the','and','of','to','in','is','that','for'"
+
+    return {
+        "bbox": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE lon BETWEEN -50 AND 30 AND lat BETWEEN -20 AND 45
+        """,
+        "bbox_time": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE lon BETWEEN -120 AND 60 AND lat BETWEEN -60 AND 70
+              AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "bbox_time_indexed": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE lon BETWEEN -120 AND 60 AND lat BETWEEN -60 AND 70
+              AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "intersects": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts WHERE {_tri_sql()}
+        """,
+        "dwithin": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE lon BETWEEN {_DW_LON - dw_deg!r} AND {_DW_LON + dw_deg!r}
+              AND lat BETWEEN {_DW_LAT - dw_deg!r} AND {_DW_LAT + dw_deg!r}
+              AND {dw_hav} <= {_DW_M!r}
+        """,
+        "attr_filter": """
+            SELECT event_id FROM events WHERE event_type = 'click' AND value >= 50.0
+        """,
+        "record_lookup": """
+            SELECT event_id, event_type, user_id FROM events
+            WHERE event_id IN (5, 42, 999, 4999)
+        """,
+        "or_union": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE (lon BETWEEN -50 AND 30 AND lat BETWEEN -20 AND 45)
+               OR event_type = 'error'
+        """,
+        "knn": f"""
+            WITH {_PTS_CTE},
+            q(query_id, q_lon, q_lat) AS (VALUES {", ".join(f"('{qid}', {x!r}, {y!r})" for qid, x, y in _KNN_QUERIES)}),
+            d AS (
+              SELECT q.query_id, pts.event_id,
+                     {_hav_sql("q.q_lon", "q.q_lat")} AS dist
+              FROM pts CROSS JOIN q
+            ),
+            r AS (
+              SELECT query_id, event_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rn
+              FROM d
+            )
+            SELECT query_id, event_id FROM r WHERE rn <= 10
+        """,
+        "proximity": f"""
+            WITH {_PTS_CTE},
+            sites(site_id, s_lon, s_lat, b0, b1, b2, b3) AS (VALUES {_sites_values()})
+            SELECT site_id, event_id
+            FROM pts JOIN sites
+              ON lon BETWEEN b0 AND b2 AND lat BETWEEN b1 AND b3
+            WHERE 2.0 * 6371008.8 * asin(sqrt(least(1.0,
+                    pow(sin((radians(s_lat) - radians(lat)) / 2), 2)
+                    + cos(radians(lat)) * cos(radians(s_lat))
+                    * pow(sin(radians(s_lon - lon) / 2), 2)))) <= {_PROX_M!r}
+        """,
+        "tube": f"""
+            WITH {_PTS_CTE},
+            bins(tube_bin, t_lo, t_hi, c_lon, c_lat, radius_m, b0, b1, b2, b3)
+              AS (VALUES {_tube_values()}),
+            j AS (
+              SELECT pts.event_id, bins.tube_bin,
+                     2.0 * 6371008.8 * asin(sqrt(least(1.0,
+                       pow(sin((radians(c_lat) - radians(lat)) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(c_lat))
+                       * pow(sin(radians(c_lon - lon) / 2), 2)))) AS dist_m,
+                     radius_m
+              FROM pts JOIN bins
+                ON secs BETWEEN t_lo AND t_hi
+               AND lon BETWEEN b0 AND b2 AND lat BETWEEN b1 AND b3
+            ),
+            k AS (
+              SELECT tube_bin, event_id,
+                     row_number() OVER (PARTITION BY event_id ORDER BY dist_m ASC, tube_bin ASC) AS rn
+              FROM j WHERE dist_m <= radius_m
+            )
+            SELECT tube_bin, event_id FROM k WHERE rn = 1
+        """,
+        "spatial_join_boxes": f"""
+            WITH {_PTS_CTE},
+            boxes(poly_id, x0, y0, x1, y1) AS (VALUES {_boxes_values()})
+            SELECT poly_id, event_id FROM pts JOIN boxes
+              ON lon BETWEEN x0 AND x1 AND lat BETWEEN y0 AND y1
+        """,
+        "spatial_join_poly": f"""
+            WITH {_PTS_CTE},
+            boxes(poly_id, x0, y0, x1, y1) AS (VALUES {_boxes_values()})
+            SELECT poly_id, event_id FROM pts JOIN boxes
+              ON lon BETWEEN x0 AND x1 AND lat BETWEEN y0 AND y1
+            UNION ALL
+            SELECT 'tri_a' AS poly_id, event_id FROM pts WHERE {_tri_sql()}
+        """,
+        "density": f"""
+            WITH {_PTS_CTE},
+            g AS (
+              SELECT least(63, greatest(0,
+                       CAST(floor((lon - -180.0) / 360.0 * 64) AS INTEGER))) AS i,
+                     least(31, greatest(0,
+                       CAST(floor((lat - -90.0) / 180.0 * 32) AS INTEGER))) AS j
+              FROM pts
+              WHERE lon BETWEEN -180.0 AND 180.0 AND lat BETWEEN -90.0 AND 90.0
+            )
+            SELECT i, j, CAST(count(*) AS DOUBLE) AS weight FROM g GROUP BY i, j
+        """,
+        "temporal_density": f"""
+            WITH {_PTS_CTE}
+            SELECT least(29, CAST(floor((secs - 1704067200) / 86400.0) AS INTEGER)) AS bucket,
+                   count(*) AS n
+            FROM pts
+            WHERE secs >= 1704067200 AND secs < 1706659200
+            GROUP BY 1
+        """,
+        "unique_hist": """
+            SELECT event_type AS "value", count(*) AS "count"
+            FROM events GROUP BY event_type
+        """,
+        "count_by_day": """
+            SELECT strftime(ts, '%Y%m%d') AS day, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "bounds": f"""
+            WITH {_PTS_CTE}
+            SELECT min(lon) AS lon_min, min(lat) AS lat_min,
+                   max(lon) AS lon_max, max(lat) AS lat_max
+            FROM pts
+        """,
+        "tile_counts": f"""
+            WITH {_PTS_CTE},
+            t AS (SELECT {tile6} FROM pts)
+            SELECT 6 * 4503599627370496 + x * 67108864 + y AS tile_id,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM t GROUP BY 1
+        """,
+        "tile_rollup": f"""
+            WITH {_PTS_CTE},
+            t AS (SELECT {tile6} FROM pts)
+            SELECT 4 * 4503599627370496 + (x >> 2) * 67108864 + (y >> 2) AS tile_id,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM t GROUP BY 1
+        """,
+        "bin_records": f"""
+            WITH {_PTS_CTE}
+            SELECT user_id AS track, CAST(secs AS INTEGER) AS secs,
+                   CAST(lat AS FLOAT) AS lat, CAST(lon AS FLOAT) AS lon
+            FROM pts
+        """,
+        "geoparse_docs": """
+            SELECT doc_id,
+                   CAST(-180.0 + (doc_id * 7919 % 36000) / 100.0 AS DOUBLE) AS lon,
+                   CAST(-90.0 + (doc_id * 104729 % 18000) / 100.0 AS DOUBLE) AS lat
+            FROM documents
+        """,
+        "extract_text": """
+            SELECT doc_id, text FROM documents
+        """,
+        "dedup_exact": """
+            WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+            SELECT min(doc_id) AS doc_id, content_hash FROM h GROUP BY content_hash
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT vec_id AS qvid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+            s AS (
+              SELECT 'q' || CAST(q.qvid AS VARCHAR) AS query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+                       AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+        """,
+        "text_quality": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x IN ({stop_list}))) AS n_stop
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     CAST(greatest(1, n_chars) AS DOUBLE) AS sc,
+                     CAST(greatest(1, n_tokens) AS DOUBLE) AS st,
+                     n_punct, n_digit, n_upper, n_stop
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS INTEGER) AS n_chars,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   round(sc / st, 6) AS mean_token_len,
+                   round(n_punct / sc, 6) AS punct_ratio,
+                   round(n_digit / sc, 6) AS digit_ratio,
+                   round(n_upper / sc, 6) AS upper_ratio,
+                   round(n_stop / st, 6) AS stopword_ratio,
+                   round(1.0 - least(0.5, n_punct / sc) - least(0.3, n_digit / sc)
+                         + least(0.2, n_stop / st), 6) AS quality_score
+            FROM r
+        """,
+        # minhash_lsh / simhash / lang_id / fingerprint: signature hashing is
+        # not ANSI-SQL-expressible -> driver's rows-only check applies.
+    }

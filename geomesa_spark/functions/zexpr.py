@@ -37,6 +37,16 @@ def _clip(c: Column, lo: int, hi: int) -> Column:
     return F.greatest(F.lit(lo), F.least(F.lit(hi), c))
 
 
+def epoch_seconds(ts: Column) -> Column:
+    """Unix seconds from TimestampType, TIMESTAMP_NTZ, or a long column.
+
+    TIMESTAMP_NTZ cannot cast directly to long; routing through TimestampType
+    (a no-op for LTZ, session-tz interpretation for NTZ — the engine pins the
+    session to UTC) makes every input shape work.
+    """
+    return ts.cast("timestamp").cast("long")
+
+
 def _normalize_expr(value: Column, lo: float, hi: float, bits: int) -> Column:
     n = F.floor((value - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(1 << bits)))
     return _clip(n.cast("long"), 0, (1 << bits) - 1)
@@ -56,7 +66,7 @@ def z3_expr(lon: Column, lat: Column, ts: Column) -> Column:
     """
     x = _normalize_expr(lon.cast("double"), -180.0, 180.0, 21)
     y = _normalize_expr(lat.cast("double"), -90.0, 90.0, 21)
-    secs = ts.cast("long")
+    secs = epoch_seconds(ts)
     t = _clip(secs % F.lit(SECONDS_PER_WEEK), 0, SECONDS_PER_WEEK - 1)
     sx = _split_expr(x, _SPLIT2_STEPS, 0x1FFFFF)
     sy = _split_expr(y, _SPLIT2_STEPS, 0x1FFFFF)
@@ -76,11 +86,11 @@ def z2_expr(lon: Column, lat: Column) -> Column:
 def week_expr(ts: Column) -> Column:
     """Epoch week (int) — the Z3 partition column
     (mirrors ``Z3Table.scala:40-51`` week binning)."""
-    return F.floor(ts.cast("long") / F.lit(SECONDS_PER_WEEK)).cast("int")
+    return F.floor(epoch_seconds(ts) / F.lit(SECONDS_PER_WEEK)).cast("int")
 
 
 def seconds_in_week_expr(ts: Column) -> Column:
-    return (ts.cast("long") % F.lit(SECONDS_PER_WEEK)).cast("long")
+    return (epoch_seconds(ts) % F.lit(SECONDS_PER_WEEK)).cast("long")
 
 
 def tile_id_expr(lon: Column, lat: Column, level: int) -> Column:

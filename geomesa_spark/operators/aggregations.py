@@ -17,6 +17,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geomesa_spark.functions.zexpr import epoch_seconds
 from geomesa_spark.plans.compiler import GeoTable, _ts_lit
 
 
@@ -57,7 +58,7 @@ def temporal_density(
 ) -> DataFrame:
     """Counts per equal time bucket over [start, end) — the TimeSnap grid
     (``ACC/iterators/TemporalDensityIterator.scala:40-194``)."""
-    secs = F.col(table.dtg).cast("long")
+    secs = epoch_seconds(F.col(table.dtg))
     s0, s1 = int(start.timestamp()), int(end.timestamp())
     width = max(1, (s1 - s0)) / buckets
     b = F.floor((secs - F.lit(s0)) / F.lit(width)).cast("int")

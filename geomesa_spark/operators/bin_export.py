@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geomesa_spark.functions.zexpr import epoch_seconds
 from geomesa_spark.plans.compiler import GeoTable
 
 
@@ -35,7 +36,7 @@ def bin_records(table: GeoTable, track_col: str) -> DataFrame:
             (F.xxhash64(F.col(track_col).cast("string")) % F.lit(2147483647))
             .cast("int")
             .alias("track_hash"),
-            F.col(table.dtg).cast("long").cast("int").alias("secs"),
+            epoch_seconds(F.col(table.dtg)).cast("int").alias("secs"),
             F.col(table.lat).cast("float").alias("lat"),
             F.col(table.lon).cast("float").alias("lon"),
         )
@@ -48,7 +49,7 @@ def bin_pack(table: GeoTable, track_col: str, label_col: str | None = None) -> D
     width = 24 if label_col else 16
     cols = [
         F.col(track_col).cast("string").alias("track"),
-        F.col(table.dtg).cast("long").alias("secs"),
+        epoch_seconds(F.col(table.dtg)).alias("secs"),
         F.col(table.lat).cast("double").alias("lat"),
         F.col(table.lon).cast("double").alias("lon"),
     ]

@@ -22,6 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geomesa_spark.functions.zexpr import epoch_seconds
 from geomesa_spark.geom.kernels import meters_to_degrees
 from geomesa_spark.plans.compiler import GeoTable
 
@@ -79,7 +80,7 @@ def tube_select(
         "b_lon_min double, b_lat_min double, b_lon_max double, b_lat_max double",
     )
     lon, lat = F.col(points.lon), F.col(points.lat)
-    secs = F.col(points.dtg).cast("long")
+    secs = epoch_seconds(F.col(points.dtg))
     joined = points.df.join(
         F.broadcast(bins_df),
         secs.between(F.col("t_lo"), F.col("t_hi"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geomesa_spark.functions.zexpr import week_expr
+from geomesa_spark.functions.zexpr import epoch_seconds, week_expr
 from geomesa_spark.functions.zudf import z2_udf, z3_udf
 from geomesa_spark.plans.compiler import GeoTable
 
@@ -45,7 +45,7 @@ def enrich_geo(
     out = df.withColumn("z2", z2_udf(F.col(lon), F.col(lat)))
     if dtg is not None:
         out = out.withColumn("week", week_expr(F.col(dtg))).withColumn(
-            "z3", z3_udf(F.col(lon), F.col(lat), F.col(dtg).cast("long"))
+            "z3", z3_udf(F.col(lon), F.col(lat), epoch_seconds(F.col(dtg)))
         )
     salt_src = F.col(fid).cast("string") if fid else F.concat_ws(",", F.col(lon), F.col(lat))
     out = out.withColumn("shard", F.pmod(F.xxhash64(salt_src), F.lit(n_shards)).cast("int"))

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given sf dir, then compares
+row count + column names + order-insensitive values. Usage:
+
+    python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .appName("check_oracle")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        s, o = canon(sdf), canon(odf)
+        if list(s.columns) != list(o.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            continue
+        mismatch = None
+        for c in s.columns:
+            a, b = s[c].to_numpy(), o[c].to_numpy()
+            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                eq = np.isclose(
+                    a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True
+                )
+                exact = eq.all()
+                close = np.isclose(a.astype(float), b.astype(float), rtol=1e-9, equal_nan=True).all()
+                if not exact:
+                    mismatch = f"col {c}: exact={exact} close={close}"
+                    if not close:
+                        break
+            else:
+                if not (a == b).all():
+                    mismatch = f"col {c}: value mismatch"
+                    break
+        if mismatch:
+            failures.append(name)
+            print(f"FAIL {name}: {mismatch} ({len(s)} rows)")
+            ne = None
+        else:
+            print(f"ok   {name}: {len(s)} rows match exactly ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
