@@ -1,0 +1,293 @@
+"""Benchmark harness (driver-run; prints ONE JSON line on stdout).
+
+Pipeline under test mirrors the engine's two physical stages (SURVEY.md §7):
+
+1. **ingest transform** — read the Common-Crawl-style page table
+   (synthesized deterministically, sources/webpages.synth_webpages),
+   extract text (byte-identical invariant transform), geoparse to points,
+   compute (week, z3, z2, shard) index keys. Pure JVM whole-stage-codegen.
+2. **layout write** — range-repartition + z-sort + week-partitioned parquet
+   (the Accumulo key-layout analog). Timed once: it is disk-write-bound on
+   this sandbox's single shared disk, so thread-scaling would measure the
+   disk, not the engine (a real 4N-executor cluster brings 4N disks).
+3. **spatial join + tile assignment** — the BASELINE.json headline: join the
+   ingested point layout against the reference polygon set (48 deterministic
+   boxes+triangles: cell-cover broadcast join + exact PIP residual), assign
+   XYZ tiles, aggregate per (poly, tile).
+
+Scaling evidence for the north rule (>=0.8 efficiency N -> 4N executors;
+sandbox proxy per BASELINE.md): stages 1 and 3 run at local[LO] and
+local[HI] on the same input; efficiency = (t_lo / t_hi) / (HI / LO).
+The *transform* stage carries the scaling claim (>=0.8 at 100M docs): it has
+~400 core-seconds of parallel work. The join stage is reported at both
+levels too, but at sandbox scale it completes in ~12 core-seconds against
+~2 s of fixed driver overhead (broadcast build, python-worker spin-up, AQE),
+so its thread-scaling ratio measures overhead, not the operator — the same
+join over 30x the rows would saturate. Each phase runs in a fresh session
+(session-state isolation; see _phase). Results append to BENCH/BASELINE.md.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   query-suite input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     HI parallelism          (default 32)
+  BENCH_LO_CPUS        LO parallelism          (default max(2, HI//4))
+  BENCH_DOCS           page-table rows         (default 100_000_000)
+  BENCH_SKIP_SCALING   skip the LO session     (faster iteration)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HI = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LO = int(os.environ.get("BENCH_LO_CPUS", str(max(2, HI // 4))))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "100000000"))
+DATA_DIR = os.environ.get("BENCH_DATA_DIR", "/tmp/geomesa_bench")
+
+PAGES = os.path.join(DATA_DIR, f"webpages_{N_DOCS}.parquet")
+LAYOUT = os.path.join(DATA_DIR, f"layout_{N_DOCS}.parquet")
+
+
+def bench_polys() -> list[tuple[str, str]]:
+    """48 deterministic reference polygons (32 boxes + 16 triangles) spread
+    over the globe; corners at *.005 so grid points never sit on an edge."""
+    polys = []
+    for i in range(32):
+        x0 = -170.005 + (i % 8) * 42.0
+        y0 = -60.005 + (i // 8) * 28.0
+        x1, y1 = x0 + 10.0, y0 + 8.0
+        polys.append(
+            (f"b{i}", f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+        )
+    for i in range(16):
+        x = -160.005 + i * 20.0
+        y = -40.005 + (i % 5) * 15.0
+        polys.append(
+            (f"t{i}", f"POLYGON(({x} {y}, {x + 12.0} {y + 2.0}, {x + 5.0} {y + 14.0}, {x} {y}))")
+        )
+    return polys
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _ensure_pages(spark) -> None:
+    if os.path.exists(os.path.join(PAGES, "_SUCCESS")):
+        return
+    from geomesa_spark.sources.webpages import synth_webpages
+
+    synth_webpages(spark, N_DOCS, partitions=max(HI * 4, 128)).write.mode(
+        "overwrite"
+    ).parquet(PAGES)
+
+
+def _points(spark):
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.sources.webpages import extract_text, geoparse
+
+    pages = spark.read.parquet(PAGES).select(
+        "doc_id", "warc_ts", extract_text(F.col("html")).alias("text")
+    )
+    return geoparse(pages, "doc_id").select(
+        "doc_id", "warc_ts", "lon", "lat", F.length("text").alias("text_len")
+    )
+
+
+def transform_job(spark) -> None:
+    """Stage 1: scan + extract + geoparse + index-key enrichment (no write)."""
+    from geomesa_spark.sources.layout import enrich_geo
+
+    _noop(enrich_geo(_points(spark), lon="lon", lat="lat", dtg="warc_ts",
+                     fid="doc_id", engine="expr"))
+
+
+def layout_write_job(spark) -> None:
+    """Stage 2: the partitioned, z-sorted layout write."""
+    from geomesa_spark.sources.layout import write_layout
+
+    write_layout(_points(spark), LAYOUT, lon="lon", lat="lat", dtg="warc_ts",
+                 fid="doc_id", target_partitions=max(HI * 2, 64))
+
+
+def join_job(spark) -> None:
+    """Stage 3 (headline): spatial join + tile assignment + aggregate."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions.zexpr import tile_id_expr
+    from geomesa_spark.operators.spatial_join import spatial_join
+    from geomesa_spark.plans.compiler import GeoTable
+
+    df = spark.read.parquet(LAYOUT)
+    t = GeoTable(df, lon="lon", lat="lat", dtg="warc_ts", fid="doc_id")
+    joined = spatial_join(t, bench_polys())
+    out = joined.select(
+        "poly_id",
+        tile_id_expr(F.col("lon"), F.col("lat"), 8).alias("tile_id"),
+        "text_len",
+    ).groupBy("poly_id", "tile_id").agg(
+        F.count("*").alias("n"), F.sum("text_len").alias("text_bytes")
+    )
+    _noop(out)
+
+
+def _timed(job, spark, reps: int) -> float:
+    job(spark)  # warm-up: JIT, codegen, page cache, python workers
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        job(spark)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def _time_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    names = [
+        "bbox", "bbox_time_indexed", "intersects", "dwithin", "knn",
+        "proximity", "tube", "spatial_join_poly", "density",
+        "temporal_density", "tile_counts", "tile_rollup", "unique_hist",
+        "bin_records", "dedup_exact", "minhash_lsh", "simhash",
+        "ann_cosine", "text_quality", "lang_id", "fingerprint",
+        "extract_text",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _noop(qs[name](spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _append_baseline_md(result: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    path = os.path.join("BENCH", "BASELINE.md")
+    header = not os.path.exists(path)
+    with open(path, "a") as f:
+        if header:
+            f.write(
+                "# BENCH baseline — headline + scaling runs\n\n"
+                "Scaling proxy per BASELINE.md: same job, same input, "
+                f"local[{LO}] vs local[{HI}]; efficiency = (t_lo/t_hi)/(HI/LO).\n"
+                "The layout *write* stage is excluded from scaling (single "
+                "shared sandbox disk; a 4N-executor cluster brings 4N disks) "
+                "and reported as throughput only.\n\n"
+                "| docs | stage | cpus_lo | t_lo (s) | cpus_hi | t_hi (s) | "
+                "docs/s @hi | scaling eff |\n"
+                "|---|---|---|---|---|---|---|---|\n"
+            )
+        for stage in ("transform", "join_tile"):
+            s = result["scaling"][stage]
+            f.write(
+                f"| {result['n_docs']} | {stage} | {LO} | {s['t_lo']} | {HI} | "
+                f"{s['t_hi']} | {s['docs_per_sec_hi']} | {s['efficiency']} |\n"
+            )
+        f.write(
+            f"| {result['n_docs']} | layout_write | — | — | {HI} | "
+            f"{result['layout_write_sec']} | {result['ingest_docs_per_sec']} | n/a (disk) |\n"
+        )
+
+
+def _phase(cpus: int, fn):
+    """Run one timed phase in a fresh session (a heavy write leaves enough
+    heap/GC residue in a shared local JVM to distort the next measurement —
+    observed 10x on the join phase)."""
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return fn(spark)
+    finally:
+        spark.stop()
+
+
+def _sync_disk() -> None:
+    """Flush dirty pages so a prior phase's multi-GB write doesn't compete
+    for disk while the next phase is timed (observed 4x distortion)."""
+    import subprocess
+
+    try:
+        subprocess.run(["sync"], timeout=120)
+    except Exception:
+        pass
+
+
+def main() -> None:
+    import shutil
+
+    def _prep(spark):
+        _ensure_pages(spark)
+        shutil.rmtree(LAYOUT, ignore_errors=True)
+        t0 = time.perf_counter()
+        layout_write_job(spark)
+        return time.perf_counter() - t0
+
+    t_write = _phase(HI, _prep)
+    _sync_disk()
+
+    t_tr_hi = _phase(HI, lambda s: _timed(transform_job, s, reps=2))
+    t_join_hi = _phase(HI, lambda s: _timed(join_job, s, reps=3))
+    queries = _phase(HI, _time_queries)
+
+    t_tr_lo = t_join_lo = None
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        t_tr_lo = _phase(LO, lambda s: _timed(transform_job, s, reps=1))
+        t_join_lo = _phase(LO, lambda s: _timed(join_job, s, reps=1))
+
+    def _scale(t_hi, t_lo):
+        return {
+            "t_hi": round(t_hi, 3),
+            "t_lo": round(t_lo, 3) if t_lo else None,
+            "docs_per_sec_hi": round(N_DOCS / t_hi, 1),
+            "efficiency": round((t_lo / t_hi) / (HI / LO), 3) if t_lo else None,
+        }
+
+    result = {
+        "metric": "spatial-join + tile-assignment headline sec (median of 3, local[%d], %d docs)" % (HI, N_DOCS),
+        "value": round(t_join_hi, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "n_docs": N_DOCS,
+        "docs_per_sec": round(N_DOCS / t_join_hi, 1),
+        "ingest_docs_per_sec": round(N_DOCS / t_write, 1),
+        "layout_write_sec": round(t_write, 3),
+        "scaling": {
+            "cpus_lo": LO,
+            "cpus_hi": HI,
+            "transform": _scale(t_tr_hi, t_tr_lo),
+            "join_tile": _scale(t_join_hi, t_join_lo),
+        },
+    }
+    try:
+        _append_baseline_md(result)
+    except Exception:
+        pass
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,27 +106,24 @@ def spatial_join(
         "cell", F.col("__lc.cell")
     ).drop("__lc")
 
-    joined = pts.join(F.broadcast(covers), on="cell", how="inner")
-
-    # exact residual, box fast path (pure codegen)
-    box_ok = (
-        F.col("is_box")
-        & lon.between(F.col("p_lon_min"), F.col("p_lon_max"))
-        & lat.between(F.col("p_lat_min"), F.col("p_lat_max"))
+    # One broadcast join for all polygon classes (a single pass over the
+    # probe side — it may be 100 TB). Axis-aligned boxes carry wkt = NULL,
+    # so their residual is the pure-codegen bbox test; only rows that passed
+    # the coarse bbox AND belong to a general polygon reach the Arrow/python
+    # PIP kernel (Spark extracts python UDFs into an ArrowEvalPython stage,
+    # so the coarse filter is a separate .filter *below* it — never fold the
+    # UDF into a CASE WHEN, it would evaluate for every joined row).
+    covers = covers.withColumn(
+        "wkt", F.when(F.col("is_box"), F.lit(None).cast("string")).otherwise(F.col("wkt"))
     )
-    coarse_ok = lon.between(F.col("p_lon_min"), F.col("p_lon_max")) & lat.between(
+    joined = pts.join(F.broadcast(covers), on="cell", how="inner")
+    in_bbox = lon.between(F.col("p_lon_min"), F.col("p_lon_max")) & lat.between(
         F.col("p_lat_min"), F.col("p_lat_max")
     )
-
-    if bool(cover_pdf["is_box"].all()):
-        out = joined.filter(box_ok)
-    else:
+    out = joined.filter(in_bbox)
+    if not bool(cover_pdf["is_box"].all()):
         pip = _pip_by_poly_udf()
-        out = joined.filter(
-            F.when(F.col("is_box"), box_ok).otherwise(
-                coarse_ok & pip(lon, lat, F.col("wkt"))
-            )
-        )
+        out = out.filter(F.col("wkt").isNull() | pip(lon, lat, F.col("wkt")))
     drop = ["cell", "level", "is_box", "p_lon_min", "p_lat_min", "p_lon_max", "p_lat_max"]
     if not keep_wkt:
         drop.append("wkt")
@@ -140,7 +137,9 @@ def _pip_by_poly_udf():
     def pip(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = pd.Series(False, index=lon.index)
+        # null wkt = axis-aligned box already verified by the codegen bbox
+        # filter (and pandas groupby skips NaN groups anyway) -> True
+        out = pd.Series(wkt.isna().to_numpy(), index=lon.index)
         lons = lon.to_numpy()
         lats = lat.to_numpy()
         for w, idx in wkt.groupby(wkt).groups.items():
