@@ -315,6 +315,72 @@ def _q_ann_cosine(spark, sf_dir):
     return cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
 
 
+def _q_ann_lsh(spark, sf_dir):
+    from geomesa_spark.operators.ann import lsh_cosine_topk
+
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    qs = [(f"q{r['vec_id']}", list(r["embedding"])) for r in qrows]
+    return lsh_cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(_utc(spark), sf_dir), "text", "doc_id", threshold=0.4)
+
+
+def _messages(spark, sf_dir):
+    """Deterministic GeoMessage log derived from events (FIXTURES-style)."""
+    t = _events_pts(spark, sf_dir)
+    return t.df.select(
+        F.col("event_id").alias("offset"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("delete"))
+        .otherwise(F.lit("create"))
+        .alias("kind"),
+        F.col("user_id").cast("string").alias("id"),
+        "lon",
+        "lat",
+        "ts",
+    )
+
+
+def _q_replay(spark, sf_dir):
+    from geomesa_spark.streaming.live import replay_snapshot
+
+    return replay_snapshot(
+        _messages(_utc(spark), sf_dir), datetime(2024, 1, 20, tzinfo=timezone.utc)
+    )
+
+
+def _q_map_agg_json(spark, sf_dir):
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total")
+    )
+
+
+def _q_knn_ring(spark, sf_dir):
+    from geomesa_spark.operators.knn import knn_ring_expansion
+
+    t = _events_pts(_utc(spark), sf_dir)
+    return knn_ring_expansion(
+        t, _KNN_QUERIES, k=10, r0_m=2_000_000.0, max_radius_m=30_000_000.0
+    ).select("query_id", "event_id")
+
+
+def _q_media_features(spark, sf_dir):
+    from geomesa_spark.operators.multimodal import media_features, synth_media
+
+    return media_features(synth_media(_utc(spark), 2000))
+
+
+def _q_frame_sample(spark, sf_dir):
+    from geomesa_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(_utc(spark), 1000), every_n=30)
+
+
 def _q_text_quality(spark, sf_dir):
     return text_quality(_docs(_utc(spark), sf_dir), "text", "doc_id")
 
@@ -356,6 +422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_cosine": _q_ann_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "replay": _q_replay,
+        "map_agg_json": _q_map_agg_json,
+        "knn_ring": _q_knn_ring,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -590,6 +663,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
             SELECT min(doc_id) AS doc_id, content_hash FROM h GROUP BY content_hash
+        """,
+        "replay": f"""
+            WITH {_PTS_CTE},
+            m AS (
+              SELECT event_id AS msg_offset,
+                     CASE WHEN event_id % 17 = 0 THEN 'delete' ELSE 'create' END AS kind,
+                     CAST(user_id AS VARCHAR) AS id, lon, lat, ts
+              FROM pts
+              WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY id ORDER BY msg_offset DESC) AS rn FROM m
+            )
+            SELECT id, lon, lat, ts FROM r WHERE rn = 1 AND kind = 'create'
+        """,
+        "map_agg_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
+            FROM events GROUP BY event_type
+        """,
+        "knn_ring": f"""
+            WITH {_PTS_CTE},
+            q(query_id, q_lon, q_lat) AS (VALUES {", ".join(f"('{qid}', {x!r}, {y!r})" for qid, x, y in _KNN_QUERIES)}),
+            d AS (
+              SELECT q.query_id, pts.event_id,
+                     {_hav_sql("q.q_lon", "q.q_lat")} AS dist
+              FROM pts CROSS JOIN q
+            ),
+            r AS (
+              SELECT query_id, event_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rn
+              FROM d
+            )
+            SELECT query_id, event_id FROM r WHERE rn <= 10
         """,
         "ann_cosine": """
             WITH q AS (SELECT vec_id AS qvid, embedding AS qe FROM embeddings WHERE vec_id < 3),

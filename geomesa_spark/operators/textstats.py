@@ -122,36 +122,29 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, window: int = 16) -> 
 
     @F.pandas_udf("long")
     def fp(texts: pd.Series) -> pd.Series:
-        B = np.int64(1000003)
+        # Everything runs in uint64 (wraparound = mod 2^64) and masks to 62
+        # bits at the end: mod 2^62 is a quotient ring of mod 2^64, so this
+        # equals masking after every step — but each window hash is a plain
+        # length-`window` correlation (window vectorized multiply-adds per
+        # doc), no per-character python loop.
+        B = np.uint64(1000003)
+        mask = np.uint64((1 << 62) - 1)
+        powers = np.empty(window, dtype=np.uint64)
+        powers[0] = 1
+        for j in range(1, window):
+            powers[j] = powers[j - 1] * B
         out = np.zeros(len(texts), dtype=np.int64)
-        mask = np.int64((1 << 62) - 1)
         for i, t in enumerate(texts):
             norm = " ".join((t or "").lower().split()).encode("utf-8")
-            a = np.frombuffer(norm, dtype=np.uint8).astype(np.int64)
+            a = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
             if len(a) == 0:
                 continue
-            if len(a) < window:
-                h = np.int64(0)
-                for v in a:
-                    h = (h * B + v) & mask
-                out[i] = h
-                continue
-            # rolling hashes of all window-grams, vectorized via cumulative trick
-            powers = np.zeros(window, dtype=np.int64)
-            powers[0] = 1
-            for j in range(1, window):
-                powers[j] = (powers[j - 1] * B) & mask
-            n = len(a) - window + 1
-            hs = np.zeros(n, dtype=np.int64)
-            h = np.int64(0)
-            for j in range(window):
-                h = (h * B + a[j]) & mask
-            hs[0] = h
-            top = powers[window - 1]
-            for j in range(1, n):
-                h = ((h - a[j - 1] * top) * B + a[j + window - 1]) & mask
-                hs[j] = h
-            out[i] = hs.min()
+            w = min(window, len(a))
+            n = len(a) - w + 1
+            hs = np.zeros(n, dtype=np.uint64)
+            for k in range(w):  # w vector ops, not len(a) scalar ops
+                hs += a[k : k + n] * powers[w - 1 - k]
+            out[i] = np.int64((hs & mask).min())
         return pd.Series(out)
 
     return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))

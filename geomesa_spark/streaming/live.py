@@ -57,6 +57,40 @@ def replay_snapshot(messages: DataFrame, at: datetime, read_behind_s: float | No
     return latest.filter(F.col("kind") == "create").select("id", "lon", "lat", "ts")
 
 
+CLEAR_MARKER = "__clear__"
+
+
+def live_snapshot(spark, table: str) -> DataFrame:
+    """Current live state from a sink table fed by :func:`live_view`.
+
+    Latest row per id wins; ids whose last update predates the newest global
+    clear marker (or that are dead/expired) are dropped. This is where the
+    reference's cache-wide ``Clear`` semantics are applied — scalably, as a
+    broadcast of one scalar against the keyed state output.
+    """
+    df = spark.table(table)
+    clears = df.filter(F.col("id") == CLEAR_MARKER).agg(
+        F.max("ts").alias("clear_ts")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("ts").desc_nulls_last())
+    latest = (
+        df.filter(F.col("id") != CLEAR_MARKER)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        latest.crossJoin(F.broadcast(clears))
+        .filter(
+            F.col("alive")
+            & (F.col("clear_ts").isNull() | (F.col("ts") > F.col("clear_ts")))
+        )
+        .drop("clear_ts")
+    )
+
+
 def live_view(message_stream: DataFrame, ttl_seconds: float = 300.0) -> DataFrame:
     """Streaming keyed upsert with TTL over a message stream.
 
@@ -76,6 +110,24 @@ def live_view(message_stream: DataFrame, ttl_seconds: float = 300.0) -> DataFram
             yield pd.DataFrame(
                 {"id": [key[0]], "lon": [None], "lat": [None], "ts": [None], "alive": [False]}
             )
+            return
+        if key[0] is None:
+            # Global `clear` control messages arrive keyed on id=None: emit a
+            # marker row carrying the clear's event time; live_snapshot()
+            # applies it across all keys. Keyed state stays shard-parallel —
+            # a truly global wipe inside a keyed operator would serialize on
+            # one key at 100 TB.
+            clear_ts = None
+            for pdf in batches:
+                c = pdf[pdf["kind"] == "clear"]
+                if len(c):
+                    t = c["ts"].max()
+                    clear_ts = t if clear_ts is None else max(clear_ts, t)
+            if clear_ts is not None:
+                yield pd.DataFrame(
+                    {"id": [CLEAR_MARKER], "lon": [None], "lat": [None],
+                     "ts": [clear_ts], "alive": [False]}
+                )
             return
         last = None
         deleted = False
