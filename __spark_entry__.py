@@ -381,6 +381,88 @@ def _q_frame_sample(spark, sf_dir):
     return sample_frames(synth_media(_utc(spark), 1000), every_n=30)
 
 
+def _q_convert_delimited(spark, sf_dir):
+    """Converter end-to-end: events formatted to pipe-delimited lines, parsed
+    back through the converter spec; oracle is the original table."""
+    from geomesa_spark.functions.registry import resolve_function
+    from geomesa_spark.sources.convert import apply_converter, delimited_text
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.format_string("%s|'%s'|%s", F.col("event_id"), F.col("event_type"), F.col("value"))
+        .alias("line")
+    )
+    raw = delimited_text(lines, "line", "|", ["f0", "f1", "f2"])
+    spec = [
+        ("event_id", lambda c: resolve_function("toLong")(c["f0"])),
+        ("event_type", lambda c: resolve_function("stripQuotes")(c["f1"])),
+        ("value", lambda c: resolve_function("toDouble")(c["f2"])),
+    ]
+    return apply_converter(raw, spec)
+
+
+def _q_dms_parse(spark, sf_dir):
+    """DMS coordinate parsing over synthesized DMS strings."""
+    from geomesa_spark.sources.convert import dms_to_decimal
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    dms = F.format_string(
+        "%s:%s:%s%s",
+        (F.col("event_id") % 89).cast("int"),
+        (F.col("event_id") % 60).cast("int"),
+        (F.col("event_id") % 57).cast("int"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("N")).otherwise(F.lit("S")),
+    )
+    return ev.select("event_id", dms_to_decimal(dms).alias("lat_dec"))
+
+
+def _q_bbox_idl(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    return query(t, "BBOX(geom, 170, -60, -170, 60)").select("event_id")
+
+
+def _q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON export fidelity via parse-back (string formatting stays
+    engine-local; the oracle checks the extracted coordinates)."""
+    from geomesa_spark.sources.convert import to_geojson
+
+    t = _events_pts(_utc(spark), sf_dir)
+    gj = to_geojson(t.df, "lon", "lat", id_col="event_id")
+    out = t.df.select(F.col("event_id"), gj.alias("gj"))
+    return out.select(
+        "event_id",
+        F.get_json_object("gj", "$.geometry.coordinates[0]").cast("double").alias("gj_lon"),
+        F.get_json_object("gj", "$.geometry.coordinates[1]").cast("double").alias("gj_lat"),
+    )
+
+
+_RASTER_BBOX = (-30.005, -20.005, 40.005, 35.005)
+
+
+def _raster_chunks(spark, sf_dir):
+    """Chunk table derived from events tile counts at level 6 (+ bboxes)."""
+    t = _events_pts(spark, sf_dir)
+    tc = tile_counts(t, level=6)
+    x = ((F.col("tile_id") - 6 * (1 << 52)) / F.lit(1 << 26)).cast("long")
+    y = F.col("tile_id") - F.lit(6 * (1 << 52)) - x * F.lit(1 << 26)
+    n = 64
+    lon0 = F.lit(-180.0) + F.lit(360.0) * x / F.lit(float(n))
+    lat1 = F.lit(90.0) - F.lit(180.0) * y / F.lit(float(n))
+    return tc.select(
+        "tile_id", "weight",
+        lon0.alias("c_lon_min"), (lat1 - 180.0 / n).alias("c_lat_min"),
+        (lon0 + 360.0 / n).alias("c_lon_max"), lat1.alias("c_lat_max"),
+    )
+
+
+def _q_raster_query(spark, sf_dir):
+    from geomesa_spark.operators.tiling import raster_query
+
+    chunks = _raster_chunks(_utc(spark), sf_dir)
+    return raster_query(chunks, _RASTER_BBOX, requested_level=7,
+                        available_levels=[4, 6]).select("tile_id", "weight")
+
+
 def _q_text_quality(spark, sf_dir):
     return text_quality(_docs(_utc(spark), sf_dir), "text", "doc_id")
 
@@ -429,6 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring": _q_knn_ring,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "convert_delimited": _q_convert_delimited,
+        "dms_parse": _q_dms_parse,
+        "bbox_idl": _q_bbox_idl,
+        "geojson_roundtrip": _q_geojson_roundtrip,
+        "raster_query": _q_raster_query,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -471,6 +558,45 @@ def _tube_values() -> str:
             f"{c_lon - d!r}, {c_lat - d!r}, {c_lon + d!r}, {c_lat + d!r})"
         )
     return ", ".join(rows)
+
+
+def _raster_query_oracle() -> str:
+    from geomesa_spark.operators.tiling import raster_query_cells
+
+    cells = ", ".join(str(c) for c in raster_query_cells(_RASTER_BBOX, 6))
+    b = _RASTER_BBOX
+    return f"""
+        WITH {_PTS_CTE},
+        t AS (
+          SELECT least(63, greatest(0, CAST(floor((lon - -180.0) / 360.0 * 64.0) AS BIGINT))) AS x,
+                 least(63, greatest(0, CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT))) AS y
+          FROM pts
+        ),
+        tc AS (
+          SELECT 6 * 4503599627370496 + x * 67108864 + y AS tile_id,
+                 CAST(count(*) AS BIGINT) AS weight
+          FROM t GROUP BY 1
+        ),
+        chunks AS (
+          SELECT tile_id, weight,
+                 CAST(floor((tile_id - 27021597764222976) / 67108864) AS BIGINT) AS cx,
+                 tile_id - 27021597764222976
+                   - CAST(floor((tile_id - 27021597764222976) / 67108864) AS BIGINT) * 67108864 AS cy
+          FROM tc
+        ),
+        cb AS (
+          SELECT tile_id, weight,
+                 -180.0 + 360.0 * cx / 64.0 AS c_lon_min,
+                 90.0 - 180.0 * cy / 64.0 - 2.8125 AS c_lat_min,
+                 -180.0 + 360.0 * cx / 64.0 + 5.625 AS c_lon_max,
+                 90.0 - 180.0 * cy / 64.0 AS c_lat_max
+          FROM chunks
+        )
+        SELECT tile_id, weight FROM cb
+        WHERE tile_id IN ({cells})
+          AND c_lon_min <= {b[2]!r} AND c_lon_max >= {b[0]!r}
+          AND c_lat_min <= {b[3]!r} AND c_lat_max >= {b[1]!r}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -664,6 +790,32 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
             SELECT min(doc_id) AS doc_id, content_hash FROM h GROUP BY content_hash
         """,
+        "convert_delimited": """
+            SELECT event_id, event_type, value FROM events
+        """,
+        "dms_parse": """
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 0 THEN
+                     CAST(event_id % 89 AS DOUBLE)
+                     + CAST(event_id % 60 AS DOUBLE) / 60.0
+                     + CAST(event_id % 57 AS DOUBLE) / 3600.0
+                   ELSE
+                     -(CAST(event_id % 89 AS DOUBLE)
+                       + CAST(event_id % 60 AS DOUBLE) / 60.0
+                       + CAST(event_id % 57 AS DOUBLE) / 3600.0)
+                   END AS lat_dec
+            FROM events
+        """,
+        "bbox_idl": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE (lon >= 170 OR lon <= -170) AND lat BETWEEN -60 AND 60
+        """,
+        "geojson_roundtrip": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id, lon AS gj_lon, lat AS gj_lat FROM pts
+        """,
+        "raster_query": _raster_query_oracle(),
         "replay": f"""
             WITH {_PTS_CTE},
             m AS (

@@ -46,11 +46,13 @@ register("concat")(lambda *cs: F.concat(*cs))
 register("substr")(lambda c, a, b: F.substring(c, a + 1, b - a))
 
 # --- casts (Transformers.scala:46-47,120-129) -------------------------------
-register("toInt")(lambda c: c.cast("int"))
-register("toLong")(lambda c: c.cast("long"))
-register("toDouble")(lambda c: c.cast("double"))
-register("toFloat")(lambda c: c.cast("float"))
-register("toBoolean")(lambda c: c.cast("boolean"))
+# try_cast throughout: converter casts must yield NULL on malformed input
+# (drop-bad-record semantics), not abort the job under Spark 4 ANSI mode
+register("toInt")(lambda c: c.try_cast("int"))
+register("toLong")(lambda c: c.try_cast("long"))
+register("toDouble")(lambda c: c.try_cast("double"))
+register("toFloat")(lambda c: c.try_cast("float"))
+register("toBoolean")(lambda c: c.try_cast("boolean"))
 
 # --- dates (Transformers.scala:240-267) -------------------------------------
 register("now")(lambda: F.current_timestamp())

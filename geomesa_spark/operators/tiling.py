@@ -65,6 +65,60 @@ def tile_rollup(tile_df: DataFrame, from_level: int, to_level: int) -> DataFrame
     return df
 
 
+def select_level(available: list[int], requested: int) -> int:
+    """Choose the serving pyramid level for a requested resolution: the
+    finest available level not finer than requested, else the coarsest
+    available (mirrors the resolution selection of
+    ``RAS/data/AccumuloRasterQueryPlanner.scala:34-110`` — closest available
+    resolution <= requested, fall back to what exists)."""
+    le = [l for l in available if l <= requested]
+    return max(le) if le else min(available)
+
+
+def raster_query_cells(
+    bbox: tuple[float, float, float, float], level: int
+) -> list[int]:
+    """Tile ids intersecting ``bbox`` at ``level`` **plus touching
+    neighbors** (the planner enumerates bbox hashes + neighbors so chunks
+    whose extent bleeds over a cell edge are fetched —
+    ``AccumuloRasterQueryPlanner.getQueryPlan:49``)."""
+    from geomesa_spark.cells.tiles import tile_xy
+
+    import numpy as np
+
+    n = 1 << level
+    x0, y1 = tile_xy(np.array([bbox[0]]), np.array([bbox[1]]), level)
+    x1, y0 = tile_xy(np.array([bbox[2]]), np.array([bbox[3]]), level)
+    xs = np.arange(max(0, x0[0] - 1), min(n - 1, x1[0] + 1) + 1)
+    ys = np.arange(max(0, y0[0] - 1), min(n - 1, y1[0] + 1) + 1)
+    gx, gy = np.meshgrid(xs, ys)
+    ids = np.int64(level) * np.int64(1 << 52) + gx.ravel() * np.int64(1 << 26) + gy.ravel()
+    return [int(v) for v in ids]
+
+
+def raster_query(
+    chunks: DataFrame,
+    bbox: tuple[float, float, float, float],
+    requested_level: int,
+    available_levels: list[int],
+) -> DataFrame:
+    """Plan + execute a raster chunk query: pick the serving level, prune to
+    the cell enumeration (partition prune / row-group skip on ``tile_id``),
+    then the exact chunk-bbox overlap residual
+    (``RAS/iterators/RasterFilteringIterator`` analog). ``chunks`` carries
+    (tile_id, c_lon_min, c_lat_min, c_lon_max, c_lat_max, payload...)."""
+    level = select_level(available_levels, requested_level)
+    cells = raster_query_cells(bbox, level)
+    pruned = chunks.filter(F.col("tile_id").isin(cells))
+    overlap = (
+        (F.col("c_lon_min") <= bbox[2])
+        & (F.col("c_lon_max") >= bbox[0])
+        & (F.col("c_lat_min") <= bbox[3])
+        & (F.col("c_lat_max") >= bbox[1])
+    )
+    return pruned.filter(overlap)
+
+
 def mosaic(chunks: DataFrame, out_level: int) -> DataFrame:
     """Composite chunk payloads per output tile (``mosaicChunks`` analog).
 

@@ -137,6 +137,13 @@ def _lower_residual(t: GeoTable, pred: P.Pred) -> Column:
     if isinstance(pred, P.BBox):
         if is_whole_world(pred.lon_min, pred.lat_min, pred.lon_max, pred.lat_max):
             return F.lit(True)  # whole-world elimination (FilterHelper.scala:69-87)
+        if pred.lon_min > pred.lon_max:
+            # antimeridian-crossing box (GeohashUtils.scala:722-774 IDL
+            # handling): split into the two hemispheres' half-boxes
+            return (
+                ((lon >= pred.lon_min) | (lon <= pred.lon_max))
+                & lat.between(pred.lat_min, pred.lat_max)
+            )
         return (
             lon.between(pred.lon_min, pred.lon_max) & lat.between(pred.lat_min, pred.lat_max)
         )
@@ -215,6 +222,8 @@ def _extract_bbox(t: GeoTable, leaves: list[P.Pred]):
 
     for leaf in leaves:
         if isinstance(leaf, P.BBox):
+            if leaf.lon_min > leaf.lon_max:
+                continue  # IDL-crossing: residual-only (no single z-range box)
             if not is_whole_world(leaf.lon_min, leaf.lat_min, leaf.lon_max, leaf.lat_max):
                 merge((leaf.lon_min, leaf.lat_min, leaf.lon_max, leaf.lat_max))
         elif isinstance(leaf, P.Intersects):

@@ -1,0 +1,140 @@
+"""Tests: converter pipeline (delimited/fixed-width/composite/DMS),
+GeoJSON export, IDL-crossing bbox, raster query planner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_delimited_converter_roundtrip(spark):
+    from geomesa_spark.functions.registry import resolve_function
+    from geomesa_spark.sources.convert import apply_converter, delimited_text
+
+    lines = spark.createDataFrame(
+        [("1|' widget '|2.5",), ("2|'gadget'|7.25",)], "line string"
+    )
+    raw = delimited_text(lines, "line", "|", ["f0", "f1", "f2"])
+    spec = [
+        ("id", lambda c: resolve_function("toLong")(c["f0"])),
+        ("name", lambda c: resolve_function("trim")(resolve_function("stripQuotes")(c["f1"]))),
+        ("price", lambda c: resolve_function("toDouble")(c["f2"])),
+    ]
+    got = {r["id"]: r for r in apply_converter(raw, spec).collect()}
+    assert got[1]["name"] == "widget" and got[1]["price"] == 2.5
+    assert got[2]["name"] == "gadget" and got[2]["price"] == 7.25
+
+
+def test_fixed_width_converter(spark):
+    from geomesa_spark.sources.convert import fixed_width
+
+    lines = spark.createDataFrame([("0014200ABC",), ("0029900XYZ",)], "line string")
+    out = fixed_width(lines, "line", [("id", 0, 3), ("amount", 3, 7), ("code", 7, 10)])
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["001"]["amount"] == "4200" and rows["001"]["code"] == "ABC"
+    assert rows["002"]["amount"] == "9900" and rows["002"]["code"] == "XYZ"
+
+
+def test_composite_converter_dispatch(spark):
+    from geomesa_spark.sources.convert import composite
+
+    raw = spark.createDataFrame(
+        [("csv", "5", "50"), ("swap", "7", "70")], "fmt string, a string, b string"
+    )
+    spec_a = [("x", lambda c: c["a"].cast("int")), ("y", lambda c: c["b"].cast("int"))]
+    spec_b = [("x", lambda c: c["b"].cast("int")), ("y", lambda c: c["a"].cast("int"))]
+    out = composite(raw, [(F.col("fmt") == "csv", spec_a), (F.col("fmt") == "swap", spec_b)])
+    rows = sorted([(r["x"], r["y"]) for r in out.collect()])
+    assert rows == [(5, 50), (70, 7)]
+
+
+@pytest.mark.parametrize("dms,expect", [
+    ("49:30:36N", 49.51),
+    ("49:30:36S", -49.51),
+    ("120:15:0E", 120.25),
+    ("120:15:0W", -120.25),
+    ('49°30\'36"N', 49.51),
+    ("49d30m36sN", 49.51),
+])
+def test_dms_parse(spark, dms, expect):
+    from geomesa_spark.sources.convert import dms_to_decimal
+
+    df = spark.createDataFrame([(dms,)], "s string")
+    got = df.select(dms_to_decimal(F.col("s")).alias("v")).collect()[0]["v"]
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_geojson_export_roundtrip(spark):
+    import json
+
+    from geomesa_spark.sources.convert import to_geojson
+
+    df = spark.createDataFrame([(7, 12.5, -33.25, "x")], "id long, lon double, lat double, tag string")
+    gj = df.select(to_geojson(df, "lon", "lat", id_col="id", props=["tag"]).alias("gj")).collect()[0]["gj"]
+    obj = json.loads(gj)
+    assert obj["type"] == "Feature"
+    assert obj["geometry"] == {"type": "Point", "coordinates": [12.5, -33.25]}
+    assert obj["id"] == 7 and obj["properties"] == {"tag": "x"}
+
+
+def test_bbox_idl_crossing(spark):
+    from geomesa_spark.plans.compiler import GeoTable, compile_query
+
+    rows = [("e", 175.0, 0.0), ("w", -175.0, 0.0), ("mid", 0.0, 0.0), ("out", 150.0, 70.0)]
+    df = spark.createDataFrame(rows, "id string, lon double, lat double")
+    t = GeoTable(df, lon="lon", lat="lat", dtg=None, fid="id")
+    q = compile_query(t, "BBOX(geom, 170, -60, -170, 60)")
+    got = {r["id"] for r in q.df.collect()}
+    assert got == {"e", "w"}
+
+
+def test_raster_level_selection():
+    from geomesa_spark.operators.tiling import select_level
+
+    assert select_level([2, 4, 6], requested=7) == 6
+    assert select_level([2, 4, 6], requested=4) == 4
+    assert select_level([2, 4, 6], requested=5) == 4
+    assert select_level([4, 6], requested=2) == 4  # nothing coarse enough -> coarsest
+
+
+def test_raster_query_cells_include_neighbors():
+    from geomesa_spark.cells.tiles import tile_id
+    from geomesa_spark.operators.tiling import raster_query_cells
+
+    import numpy as np
+
+    bbox = (10.0, 10.0, 20.0, 20.0)
+    cells = set(raster_query_cells(bbox, 4))
+    # every tile containing a bbox corner, and its 8 neighbors, must be in
+    inner = int(tile_id(np.array([15.0]), np.array([15.0]), 4)[0])
+    assert inner in cells
+    x = (inner - 4 * (1 << 52)) // (1 << 26)
+    y = inner - 4 * (1 << 52) - x * (1 << 26)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            assert 4 * (1 << 52) + (x + dx) * (1 << 26) + (y + dy) in cells
+
+
+def test_raster_query_end_to_end(spark):
+    from geomesa_spark.operators.tiling import raster_query
+
+    # chunks at two levels; level-6 chunk inside the bbox, one far away
+    def chunk(level, x, y):
+        n = 1 << level
+        lon0 = -180.0 + 360.0 * x / n
+        lat1 = 90.0 - 180.0 * y / n
+        return (
+            level * (1 << 52) + x * (1 << 26) + y,
+            lon0, lat1 - 180.0 / n, lon0 + 360.0 / n, lat1,
+            bytes([level, x % 256, y % 256]),
+        )
+
+    rows = [chunk(6, 33, 30), chunk(6, 2, 2), chunk(4, 8, 7)]
+    chunks = spark.createDataFrame(
+        rows,
+        "tile_id long, c_lon_min double, c_lat_min double, c_lon_max double, c_lat_max double, payload binary",
+    )
+    # bbox around tile (6, 33, 30): lon [5.625, 11.25], lat [(90-180*31/64)=2.8125, 5.625]
+    got = raster_query(chunks, (6.0, 3.0, 10.0, 5.0), requested_level=7,
+                       available_levels=[4, 6]).collect()
+    assert [r["tile_id"] for r in got] == [6 * (1 << 52) + 33 * (1 << 26) + 30]
