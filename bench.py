@@ -55,23 +55,10 @@ LAYOUT = os.path.join(DATA_DIR, f"layout_{N_DOCS}.parquet")
 
 
 def bench_polys() -> list[tuple[str, str]]:
-    """48 deterministic reference polygons (32 boxes + 16 triangles) spread
-    over the globe; corners at *.005 so grid points never sit on an edge."""
-    polys = []
-    for i in range(32):
-        x0 = -170.005 + (i % 8) * 42.0
-        y0 = -60.005 + (i // 8) * 28.0
-        x1, y1 = x0 + 10.0, y0 + 8.0
-        polys.append(
-            (f"b{i}", f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
-        )
-    for i in range(16):
-        x = -160.005 + i * 20.0
-        y = -40.005 + (i % 5) * 15.0
-        polys.append(
-            (f"t{i}", f"POLYGON(({x} {y}, {x + 12.0} {y + 2.0}, {x + 5.0} {y + 14.0}, {x} {y}))")
-        )
-    return polys
+    """48 deterministic reference polygons (32 boxes + 16 triangles)."""
+    from geomesa_spark.sources.polygons import reference_polygons
+
+    return reference_polygons(32, 16)
 
 
 def _session(cpus: int):
