@@ -154,12 +154,14 @@ def _time_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     names = [
-        "bbox", "bbox_time_indexed", "intersects", "dwithin", "knn",
-        "proximity", "tube", "spatial_join_poly", "density",
-        "temporal_density", "tile_counts", "tile_rollup", "unique_hist",
-        "bin_records", "dedup_exact", "minhash_lsh", "simhash",
-        "ann_cosine", "text_quality", "lang_id", "fingerprint",
-        "extract_text",
+        "bbox", "bbox_time_indexed", "bbox_idl", "intersects", "dwithin",
+        "knn", "knn_ring", "proximity", "tube", "spatial_join_poly",
+        "density", "temporal_density", "tile_counts", "tile_rollup",
+        "raster_query", "unique_hist", "bin_records", "dedup_exact",
+        "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh",
+        "text_quality", "lang_id", "fingerprint", "extract_text",
+        "convert_delimited", "dms_parse", "geojson_roundtrip", "replay",
+        "map_agg_json", "media_features", "frame_sample",
     ]
     qs = entrymod.queries()
     out = {}

@@ -408,6 +408,41 @@ def compile_query(table: GeoTable, pred: P.Pred | str) -> CompiledQuery:
     return CompiledQuery(df, stats)
 
 
-def query(table: GeoTable, cql: str) -> DataFrame:
-    """Convenience: compile and return the DataFrame."""
-    return compile_query(table, cql).df
+def query(
+    table: GeoTable,
+    cql: str,
+    sort_by: list[tuple[str, bool]] | None = None,
+    limit: int | None = None,
+    auths: set[str] | None = None,
+    vis_col: str = "vis",
+) -> DataFrame:
+    """Compile and return the DataFrame, with the GeoTools ``Query`` knobs:
+
+    * ``sort_by`` — [(column, ascending)], the reference's SortBy handling
+      (``ACC/index/QueryPlanner.scala:346-400`` LazySortedIterator; Spark's
+      external sort is strictly better);
+    * ``limit`` — ``Query.maxFeatures`` (GeoTools MaxFeatureReader);
+    * ``auths`` — visibility filter: keep rows whose ``vis_col`` label is
+      empty/null or within the caller's auth set
+      (``geomesa-security/.../VisibilityFilter.scala`` applied at
+      ``QueryPlanner.scala:319-324``; simple single-label model).
+    """
+    df = compile_query(table, cql).df
+    if auths is not None and vis_col in df.columns:
+        c = F.col(vis_col)
+        df = df.filter(c.isNull() | (c == "") | c.isin(list(auths)))
+    if sort_by:
+        df = df.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in sort_by])
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def timestamp_range_filter(df: DataFrame, ts_col: str, start, end) -> DataFrame:
+    """Ingest-timestamp pruning (``ACC/iterators/TimestampRangeIterator``)."""
+    return df.filter(F.col(ts_col).between(_ts_lit(start), _ts_lit(end)))
+
+
+def timestamp_set_filter(df: DataFrame, ts_col: str, instants) -> DataFrame:
+    """Exact-instant selection (``ACC/iterators/TimestampSetIterator``)."""
+    return df.filter(F.col(ts_col).isin([_ts_lit(t) for t in instants]))

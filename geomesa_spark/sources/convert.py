@@ -110,6 +110,44 @@ def dms_to_decimal(c: Column) -> Column:
     ))
 
 
+def shapefile_ingest(spark, path: str):  # pragma: no cover - gated on geopandas
+    """Shapefile -> DataFrame (``UTL/geotools/GeneralShapefileIngest.scala``).
+
+    Gated: geopandas/fiona are not in this container. When present, the
+    driver-side read + ``createDataFrame`` is the whole implementation
+    (shapefiles are small reference layers, never the 100 TB side).
+    """
+    try:
+        import geopandas  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "shapefile ingest needs geopandas (not available in this "
+            "environment); convert the layer to parquet/WKT instead"
+        ) from e
+    gdf = geopandas.read_file(path)
+    pdf = gdf.assign(wkt=gdf.geometry.to_wkt()).drop(columns="geometry")
+    return spark.createDataFrame(pdf)
+
+
+def kafka_geomessage_sink(df: DataFrame, brokers: str, topic: str):
+    """Configured (unstarted) Kafka writer for GeoMessage streams
+    (``KFK/KafkaProducerFeatureStore.scala`` -> ``writeStream.format("kafka")``).
+
+    Caller starts it; building the writer needs no broker. The value is the
+    JSON-encoded message; the feature id is the Kafka key, so per-id ordering
+    is preserved per partition exactly like the reference's keyed topic.
+    """
+    payload = df.select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+
+
 def to_geojson(
     df: DataFrame,
     lon: str = "lon",

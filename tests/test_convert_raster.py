@@ -138,3 +138,50 @@ def test_raster_query_end_to_end(spark):
     got = raster_query(chunks, (6.0, 3.0, 10.0, 5.0), requested_level=7,
                        available_levels=[4, 6]).collect()
     assert [r["tile_id"] for r in got] == [6 * (1 << 52) + 33 * (1 << 26) + 30]
+
+
+def test_query_sort_limit_vis(spark):
+    from geomesa_spark.plans.compiler import GeoTable, query
+
+    rows = [("a", 1.0, 1.0, "admin"), ("b", 2.0, 2.0, ""), ("c", 3.0, 3.0, "user"),
+            ("d", 4.0, 4.0, None), ("e", 5.0, 5.0, "admin")]
+    df = spark.createDataFrame(rows, "id string, lon double, lat double, vis string")
+    t = GeoTable(df, lon="lon", lat="lat", dtg=None, fid="id")
+    got = query(t, "BBOX(geom, 0, 0, 10, 10)", sort_by=[("id", False)],
+                limit=3, auths={"user"})
+    assert [r["id"] for r in got.collect()] == ["d", "c", "b"]
+
+
+def test_timestamp_filters(spark):
+    from datetime import datetime, timezone
+
+    from geomesa_spark.plans.compiler import timestamp_range_filter, timestamp_set_filter
+
+    rows = [(i, datetime(2024, 1, 1, i, tzinfo=timezone.utc)) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    r = timestamp_range_filter(df, "ts",
+                               datetime(2024, 1, 1, 2, tzinfo=timezone.utc),
+                               datetime(2024, 1, 1, 4, tzinfo=timezone.utc))
+    assert {x["id"] for x in r.collect()} == {2, 3, 4}
+    s = timestamp_set_filter(df, "ts", [datetime(2024, 1, 1, 1, tzinfo=timezone.utc),
+                                        datetime(2024, 1, 1, 5, tzinfo=timezone.utc)])
+    assert {x["id"] for x in s.collect()} == {1, 5}
+
+
+def test_shapefile_gated():
+    import pytest as _pytest
+
+    from geomesa_spark.sources.convert import shapefile_ingest
+
+    with _pytest.raises(NotImplementedError):
+        shapefile_ingest(None, "/nonexistent.shp")
+
+
+def test_kafka_sink_builder(spark):
+    from geomesa_spark.sources.convert import kafka_geomessage_sink
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS id", "timestamp AS ts"
+    )
+    writer = kafka_geomessage_sink(stream, "broker:9092", "features")
+    assert writer is not None  # configured without needing a broker
