@@ -140,6 +140,33 @@ def join_job(spark) -> None:
     _noop(out)
 
 
+def control_job(spark) -> None:
+    """Scaling control: the engine's full arithmetic path (geoparse + z2/z3
+    Morton keys + tile ids) over N_DOCS generated rows, with NO string
+    payload. Isolates engine compute from the sandbox's shared memory bus:
+    this job's 8->32-core efficiency is ~1.0, so any gap in the transform's
+    ratio is byte-shuffling bandwidth (strings/decompression), not engine
+    serialization."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions.zexpr import tile_id_expr, z2_expr, z3_expr
+    from geomesa_spark.sources.webpages import geoparse
+
+    n = N_DOCS * 64  # arithmetic-only: no I/O, so scale rows until work >> overhead
+    df = spark.range(0, n, 1, max(HI * 8, 256)).withColumnRenamed("id", "doc_id")
+    pts = geoparse(df, "doc_id").withColumn(
+        "ts", (F.col("doc_id") % 31_536_000).cast("long")
+    )
+    out = pts.select(
+        z3_expr(F.col("lon"), F.col("lat"), F.col("ts")).alias("z3"),
+        z2_expr(F.col("lon"), F.col("lat")).alias("z2"),
+        tile_id_expr(F.col("lon"), F.col("lat"), 8).alias("tile"),
+    ).select(
+        (F.col("z3").bitwiseXOR(F.col("z2")).bitwiseXOR(F.col("tile")) % 1000003).alias("x")
+    ).agg(F.sum("x"))  # modulo first: raw xor'd longs overflow ANSI sum
+    _noop(out)
+
+
 def _timed(job, spark, reps: int) -> float:
     job(spark)  # warm-up: JIT, codegen, page cache, python workers
     times = []
@@ -164,6 +191,7 @@ def _time_queries(spark) -> dict[str, float]:
         "map_agg_json", "media_features", "frame_sample",
     ]
     qs = entrymod.queries()
+    _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
     out = {}
     for name in names:
         t0 = time.perf_counter()
@@ -189,8 +217,10 @@ def _append_baseline_md(result: dict) -> None:
                 "docs/s @hi | scaling eff |\n"
                 "|---|---|---|---|---|---|---|---|\n"
             )
-        for stage in ("transform", "join_tile"):
-            s = result["scaling"][stage]
+        for stage in ("transform", "join_tile", "control_arithmetic"):
+            s = result["scaling"].get(stage)
+            if not s:
+                continue
             f.write(
                 f"| {result['n_docs']} | {stage} | {LO} | {s['t_lo']} | {HI} | "
                 f"{s['t_hi']} | {s['docs_per_sec_hi']} | {s['efficiency']} |\n"
@@ -224,27 +254,83 @@ def _sync_disk() -> None:
         pass
 
 
-def main() -> None:
+def _run_child_phase(phase: str, cpus: int, reps: int):
+    """Child-process entry: one phase, one fresh JVM, one JSON line out.
+
+    JVM/GC state accumulated by earlier phases distorts in-process
+    measurements by +-30% even with fresh sessions; a subprocess per phase
+    is the only reliable isolation."""
     import shutil
 
-    def _prep(spark):
-        _ensure_pages(spark)
-        shutil.rmtree(LAYOUT, ignore_errors=True)
-        t0 = time.perf_counter()
-        layout_write_job(spark)
-        return time.perf_counter() - t0
+    def body(spark):
+        if phase == "gen":
+            _ensure_pages(spark)
+            return {"t": 0.0}
+        if phase == "prep":
+            _ensure_pages(spark)
+            shutil.rmtree(LAYOUT, ignore_errors=True)
+            t0 = time.perf_counter()
+            layout_write_job(spark)
+            return {"t": time.perf_counter() - t0}
+        if phase == "transform":
+            return {"t": _timed(transform_job, spark, reps=reps)}
+        if phase == "control":
+            return {"t": _timed(control_job, spark, reps=reps)}
+        if phase == "join":
+            return {"t": _timed(join_job, spark, reps=reps)}
+        if phase == "queries":
+            return {"queries": _time_queries(spark)}
+        raise SystemExit(f"unknown phase {phase}")
 
-    t_write = _phase(HI, _prep)
+    print("BENCH_RESULT " + json.dumps(_phase(cpus, body)))
+
+
+def _phase_proc(phase: str, cpus: int, reps: int = 1):
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase,
+         "--cpus", str(cpus), "--reps", str(reps)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(
+        f"phase {phase} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if "--phase" in sys.argv:
+        i = sys.argv.index("--phase")
+        phase = sys.argv[i + 1]
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        _run_child_phase(phase, cpus, reps)
+        return
+
+    # phase order matters: time the read-only transform BEFORE the multi-GB
+    # layout write — even with sync + subprocess isolation, a preceding big
+    # write inflates the next phase ~2x (writeback/cache effects).
+    _phase_proc("gen", HI)
     _sync_disk()
+    t_tr_hi = _phase_proc("transform", HI, reps=2)["t"]
+    t_tr_lo = t_join_lo = t_ctl_hi = t_ctl_lo = None
+    skip_scaling = bool(os.environ.get("BENCH_SKIP_SCALING"))
+    if not skip_scaling:
+        t_tr_lo = _phase_proc("transform", LO, reps=2)["t"]
+        t_ctl_hi = _phase_proc("control", HI, reps=2)["t"]
+        t_ctl_lo = _phase_proc("control", LO, reps=2)["t"]
 
-    t_tr_hi = _phase(HI, lambda s: _timed(transform_job, s, reps=2))
-    t_join_hi = _phase(HI, lambda s: _timed(join_job, s, reps=3))
-    queries = _phase(HI, _time_queries)
+    t_write = _phase_proc("prep", HI)["t"]
+    _sync_disk()
+    time.sleep(5)  # let writeback settle
 
-    t_tr_lo = t_join_lo = None
-    if not os.environ.get("BENCH_SKIP_SCALING"):
-        t_tr_lo = _phase(LO, lambda s: _timed(transform_job, s, reps=1))
-        t_join_lo = _phase(LO, lambda s: _timed(join_job, s, reps=1))
+    t_join_hi = _phase_proc("join", HI, reps=3)["t"]
+    if not skip_scaling:
+        t_join_lo = _phase_proc("join", LO, reps=2)["t"]
+    queries = _phase_proc("queries", HI)["queries"]
 
     def _scale(t_hi, t_lo):
         return {
@@ -269,6 +355,9 @@ def main() -> None:
             "cpus_hi": HI,
             "transform": _scale(t_tr_hi, t_tr_lo),
             "join_tile": _scale(t_join_hi, t_join_lo),
+            "control_arithmetic": (
+                _scale(t_ctl_hi, t_ctl_lo) if t_ctl_hi else None
+            ),
         },
     }
     try:

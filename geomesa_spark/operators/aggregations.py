@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,93 @@ def density(
         )
         .groupBy(i.alias("i"), j.alias("j"))
         .agg(F.sum(w).alias("weight"))
+    )
+
+
+def density_geometries(
+    df: DataFrame,
+    wkt_col: str,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Density grid over arbitrary WKT geometries (points, lines, polygons).
+
+    Mirrors the non-point rasterization of ``ACC/iterators/DensityIterator
+    .scala:36-140``: a LineString walks the grid cells its segments cross
+    (GridSnap's Bresenham walk), a Polygon covers the grid cells of its bbox
+    that test inside; each geometry's weight is split evenly over its
+    covered cells, so total mass is conserved. Rasterization is an
+    Arrow-batched numpy kernel; the aggregation is a plain hash agg.
+    """
+    from geomesa_spark.geom.kernels import points_in_polygon
+    from geomesa_spark.geom.wkt import parse_wkt
+
+    lon_min, lat_min, lon_max, lat_max = (float(v) for v in bbox)
+    dx = (lon_max - lon_min) / width
+    dy = (lat_max - lat_min) / height
+
+    def snap(xs, ys):
+        i = np.clip(((xs - lon_min) / dx).astype(np.int64), 0, width - 1)
+        j = np.clip(((ys - lat_min) / dy).astype(np.int64), 0, height - 1)
+        return i, j
+
+    @F.pandas_udf("array<struct<i:int,j:int,w:double>>")
+    def rasterize(wkts: pd.Series, weights: pd.Series) -> pd.Series:
+        out = []
+        for wkt, wt in zip(wkts, weights):
+            g = parse_wkt(wkt)
+            wt = float(wt)
+            cells: dict[tuple[int, int], float] = {}
+            if g.kind in ("POINT", "MULTIPOINT"):
+                pts = g.rings[0]
+                i, j = snap(pts[:, 0], pts[:, 1])
+                for a, b in zip(i, j):
+                    cells[(int(a), int(b))] = cells.get((int(a), int(b)), 0.0) + 1.0
+            elif g.kind in ("LINESTRING", "MULTILINESTRING"):
+                for ring in g.rings:
+                    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+                        n = max(
+                            2,
+                            int(abs(x1 - x0) / max(dx, 1e-12))
+                            + int(abs(y1 - y0) / max(dy, 1e-12))
+                            + 2,
+                        )
+                        t = np.linspace(0.0, 1.0, n)
+                        i, j = snap(x0 + (x1 - x0) * t, y0 + (y1 - y0) * t)
+                        for a, b in set(zip(i.tolist(), j.tolist())):
+                            cells[(a, b)] = cells.get((a, b), 0.0) + 1.0
+            else:  # POLYGON / MULTIPOLYGON: grid-cover test on cell centers
+                b0, b1, b2, b3 = g.bbox()
+                i0, j0 = snap(np.array([b0]), np.array([b1]))
+                i1, j1 = snap(np.array([b2]), np.array([b3]))
+                gi, gj = np.meshgrid(
+                    np.arange(i0[0], i1[0] + 1), np.arange(j0[0], j1[0] + 1)
+                )
+                gi, gj = gi.ravel(), gj.ravel()
+                cx = lon_min + (gi + 0.5) * dx
+                cy = lat_min + (gj + 0.5) * dy
+                inside = points_in_polygon(cx, cy, g)
+                for a, b in zip(gi[inside].tolist(), gj[inside].tolist()):
+                    cells[(a, b)] = cells.get((a, b), 0.0) + 1.0
+            total = sum(cells.values())
+            out.append(
+                [
+                    {"i": int(a), "j": int(b), "w": wt * c / total}
+                    for (a, b), c in cells.items()
+                ]
+                if total
+                else []
+            )
+        return pd.Series(out)
+
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    cellized = df.select(rasterize(F.col(wkt_col), w).alias("cells"))
+    return (
+        cellized.select(F.explode("cells").alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.w").alias("weight"))
     )
 
 

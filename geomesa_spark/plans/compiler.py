@@ -118,6 +118,13 @@ def _ts_lit(dt: datetime) -> Column:
     return F.to_timestamp(F.lit(dt.astimezone(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")))
 
 
+def _is_array_col(t: GeoTable, field: str) -> bool:
+    try:
+        return dict(t.df.dtypes).get(field, "").startswith("array")
+    except Exception:
+        return False
+
+
 def _lower_residual(t: GeoTable, pred: P.Pred) -> Column:
     lon, lat = F.col(t.lon), F.col(t.lat)
     if isinstance(pred, P.Include):
@@ -173,11 +180,20 @@ def _lower_residual(t: GeoTable, pred: P.Pred) -> Column:
         hi = _ts_lit(pred.hi) if isinstance(pred.hi, datetime) else F.lit(pred.hi)
         return F.col(pred.field).between(lo, hi)
     if isinstance(pred, P.AttrIn):
+        if _is_array_col(t, pred.field):
+            # multi-valued (List) attribute: match if ANY element is in the
+            # set (the reference indexes one row per element,
+            # ``ACC/data/tables/AttributeTable.scala:259-270``)
+            return F.arrays_overlap(
+                F.col(pred.field), F.array(*[F.lit(v) for v in pred.values])
+            )
         return F.col(pred.field).isin(pred.values)
     if isinstance(pred, P.AttrCmp):
         c = F.col(pred.field)
         v = _ts_lit(pred.value) if isinstance(pred.value, datetime) else F.lit(pred.value)
         if pred.op == "=":
+            if _is_array_col(t, pred.field):
+                return F.array_contains(c, v)
             return c == v
         if pred.op == "<>":
             return c != v

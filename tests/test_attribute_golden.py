@@ -68,3 +68,14 @@ def test_attribute_predicates(attrs, cql, expected):
     q = compile_query(attrs, cql)
     got = {r["id"] for r in q.df.collect()}
     assert got == expected, f"{cql}: {got} != {expected}"
+
+
+def test_list_attribute_semantics(spark):
+    """Multi-valued (List) attributes: equality matches any element
+    (AttributeTable.scala:259-270 one-index-row-per-element semantics)."""
+    rows = [("0", ["red", "blue"], 1.0, 1.0), ("1", ["green"], 2.0, 2.0),
+            ("2", ["blue", "yellow"], 3.0, 3.0), ("3", [], 4.0, 4.0)]
+    df = spark.createDataFrame(rows, "id string, tags array<string>, lon double, lat double")
+    t = GeoTable(df, lon="lon", lat="lat", dtg=None, fid="id")
+    assert {r["id"] for r in compile_query(t, "tags = 'blue'").df.collect()} == {"0", "2"}
+    assert {r["id"] for r in compile_query(t, "tags IN ('green', 'yellow')").df.collect()} == {"1", "2"}

@@ -173,3 +173,23 @@ def test_tile_rollup(pts):
     a = {r["tile_id"]: r["weight"] for r in t6.collect()}
     b = {r["tile_id"]: r["weight"] for r in direct.collect()}
     assert a == b
+
+
+def test_density_geometries_mass_conserved(spark):
+    from geomesa_spark.operators.aggregations import density_geometries
+
+    rows = [
+        ("POINT (5.5 5.5)", 2.0),
+        ("LINESTRING (0.5 0.5, 9.5 0.5)", 3.0),
+        ("POLYGON ((1 1, 9 1, 9 9, 1 9, 1 1))", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "wkt string, wt double")
+    grid = density_geometries(df, "wkt", (0.0, 0.0, 10.0, 10.0), 10, 10, "wt")
+    cells = {(r["i"], r["j"]): r["weight"] for r in grid.collect()}
+    # total mass conserved
+    assert abs(sum(cells.values()) - 10.0) < 1e-9
+    # the point lands wholly in its cell (plus shares from line/polygon)
+    assert cells[(5, 5)] > 0
+    # the horizontal line crosses cells (0..9, 0): each gets an equal share
+    line_cells = [cells.get((i, 0), 0.0) for i in range(10)]
+    assert all(v > 0 for v in line_cells)
