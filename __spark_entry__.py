@@ -463,6 +463,18 @@ def _q_raster_query(spark, sf_dir):
                         available_levels=[4, 6]).select("tile_id", "weight")
 
 
+def _q_density_wkt(spark, sf_dir):
+    """Non-point-capable density operator over WKT geometries (exercised on
+    POINT rows so a SQL oracle can reproduce the grid exactly)."""
+    from geomesa_spark.operators.aggregations import density_geometries
+
+    t = _events_pts(_utc(spark), sf_dir)
+    df = t.df.select(
+        F.format_string("POINT (%s %s)", F.col("lon"), F.col("lat")).alias("wkt")
+    )
+    return density_geometries(df, "wkt", (-180.0, -90.0, 180.0, 90.0), 64, 32)
+
+
 def _q_text_quality(spark, sf_dir):
     return text_quality(_docs(_utc(spark), sf_dir), "text", "doc_id")
 
@@ -514,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_delimited": _q_convert_delimited,
         "dms_parse": _q_dms_parse,
         "bbox_idl": _q_bbox_idl,
+        "density_wkt": _q_density_wkt,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "raster_query": _q_raster_query,
         "text_quality": _q_text_quality,
@@ -805,6 +818,19 @@ def oracle_sql() -> dict[str, str]:
                        + CAST(event_id % 57 AS DOUBLE) / 3600.0)
                    END AS lat_dec
             FROM events
+        """,
+        "density_wkt": f"""
+            WITH {_PTS_CTE},
+            g AS (
+              SELECT least(63, greatest(0,
+                       CAST(floor((lon - -180.0) / 5.625) AS BIGINT))) AS i64,
+                     least(31, greatest(0,
+                       CAST(floor((lat - -90.0) / 5.625) AS BIGINT))) AS j64
+              FROM pts
+            )
+            SELECT CAST(i64 AS INTEGER) AS i, CAST(j64 AS INTEGER) AS j,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM g GROUP BY 1, 2
         """,
         "bbox_idl": f"""
             WITH {_PTS_CTE}
