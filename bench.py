@@ -30,7 +30,8 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   query-suite input dir   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     HI parallelism          (default 32)
   BENCH_LO_CPUS        LO parallelism          (default max(2, HI//4))
-  BENCH_DOCS           page-table rows         (default 100_000_000)
+  BENCH_DOCS           page-table rows         (default 50_000_000)
+  BENCH_CONTROL_ROWS   control-job rows        (default 3.2B)
   BENCH_SKIP_SCALING   skip the LO session     (faster iteration)
 """
 
@@ -47,7 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HI = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LO = int(os.environ.get("BENCH_LO_CPUS", str(max(2, HI // 4))))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "100000000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "50000000"))
 DATA_DIR = os.environ.get("BENCH_DATA_DIR", "/tmp/geomesa_bench")
 
 PAGES = os.path.join(DATA_DIR, f"webpages_{N_DOCS}.parquet")
@@ -152,7 +153,7 @@ def control_job(spark) -> None:
     from geomesa_spark.functions.zexpr import tile_id_expr, z2_expr, z3_expr
     from geomesa_spark.sources.webpages import geoparse
 
-    n = N_DOCS * 64  # arithmetic-only: no I/O, so scale rows until work >> overhead
+    n = int(os.environ.get("BENCH_CONTROL_ROWS", "3200000000"))  # fixed: work must dwarf the ~1.5s stage overhead
     df = spark.range(0, n, 1, max(HI * 8, 256)).withColumnRenamed("id", "doc_id")
     pts = geoparse(df, "doc_id").withColumn(
         "ts", (F.col("doc_id") % 31_536_000).cast("long")
