@@ -143,11 +143,11 @@ def join_job(spark) -> None:
 
 def control_job(spark) -> None:
     """Scaling control: the engine's full arithmetic path (geoparse + z2/z3
-    Morton keys + tile ids) over N_DOCS generated rows, with NO string
-    payload. Isolates engine compute from the sandbox's shared memory bus:
-    this job's 8->32-core efficiency is ~1.0, so any gap in the transform's
-    ratio is byte-shuffling bandwidth (strings/decompression), not engine
-    serialization."""
+    Morton keys + tile ids) over BENCH_CONTROL_ROWS generated rows, with NO
+    string payload. Isolates engine compute from the sandbox's shared memory
+    bus: this job's measured 8->32-core efficiency is ~0.85 (r1), so most of
+    the gap in the transform's ratio is byte-shuffling bandwidth
+    (strings/decompression), not engine serialization."""
     from pyspark.sql import functions as F
 
     from geomesa_spark.functions.zexpr import tile_id_expr, z2_expr, z3_expr
@@ -333,11 +333,11 @@ def main() -> None:
         t_join_lo = _phase_proc("join", LO, reps=2)["t"]
     queries = _phase_proc("queries", HI)["queries"]
 
-    def _scale(t_hi, t_lo):
+    def _scale(t_hi, t_lo, rows=N_DOCS):
         return {
             "t_hi": round(t_hi, 3),
             "t_lo": round(t_lo, 3) if t_lo else None,
-            "docs_per_sec_hi": round(N_DOCS / t_hi, 1),
+            "docs_per_sec_hi": round(rows / t_hi, 1),
             "efficiency": round((t_lo / t_hi) / (HI / LO), 3) if t_lo else None,
         }
 
@@ -357,7 +357,13 @@ def main() -> None:
             "transform": _scale(t_tr_hi, t_tr_lo),
             "join_tile": _scale(t_join_hi, t_join_lo),
             "control_arithmetic": (
-                _scale(t_ctl_hi, t_ctl_lo) if t_ctl_hi else None
+                _scale(
+                    t_ctl_hi,
+                    t_ctl_lo,
+                    rows=int(os.environ.get("BENCH_CONTROL_ROWS", "3200000000")),
+                )
+                if t_ctl_hi
+                else None
             ),
         },
     }

@@ -66,8 +66,11 @@ def density_geometries(
     .scala:36-140``: a LineString walks the grid cells its segments cross
     (GridSnap's Bresenham walk), a Polygon covers the grid cells of its bbox
     that test inside; each geometry's weight is split evenly over its
-    covered cells, so total mass is conserved. Rasterization is an
-    Arrow-batched numpy kernel; the aggregation is a plain hash agg.
+    covered cells, so total mass is conserved — a geometry whose cover test
+    hits no cell (e.g. a polygon smaller than one grid cell) falls back to
+    snapping its bbox center to a single cell, so no weight is ever dropped.
+    Rasterization is an Arrow-batched numpy kernel; the aggregation is a
+    plain hash agg.
     """
     from geomesa_spark.geom.kernels import points_in_polygon
     from geomesa_spark.geom.wkt import parse_wkt
@@ -86,7 +89,7 @@ def density_geometries(
         out = []
         for wkt, wt in zip(wkts, weights):
             g = parse_wkt(wkt)
-            wt = float(wt)
+            wt = 1.0 if wt is None else float(wt)
             cells: dict[tuple[int, int], float] = {}
             if g.kind in ("POINT", "MULTIPOINT"):
                 pts = g.rings[0]
@@ -119,18 +122,25 @@ def density_geometries(
                 inside = points_in_polygon(cx, cy, g)
                 for a, b in zip(gi[inside].tolist(), gj[inside].tolist()):
                     cells[(a, b)] = cells.get((a, b), 0.0) + 1.0
+            if not cells:
+                # mass conservation: snap the bbox center to one cell
+                b0, b1, b2, b3 = g.bbox()
+                i, j = snap(np.array([(b0 + b2) / 2.0]), np.array([(b1 + b3) / 2.0]))
+                cells[(int(i[0]), int(j[0]))] = 1.0
             total = sum(cells.values())
             out.append(
                 [
                     {"i": int(a), "j": int(b), "w": wt * c / total}
                     for (a, b), c in cells.items()
                 ]
-                if total
-                else []
             )
         return pd.Series(out)
 
-    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    w = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+        if weight_col
+        else F.lit(1.0)
+    )
     cellized = df.select(rasterize(F.col(wkt_col), w).alias("cells"))
     return (
         cellized.select(F.explode("cells").alias("c"))

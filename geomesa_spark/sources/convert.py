@@ -74,7 +74,9 @@ def composite(
 ) -> DataFrame:
     """Predicate-dispatched converter chain: the first branch whose predicate
     holds converts the row (``CompositeConverter`` -> ``when/otherwise``).
-    All branch specs must produce the same output fields."""
+    All branch specs must produce the same output fields. Rows no branch
+    claims are dropped (the reference's CompositeConverter discards records
+    no delegate converter matches)."""
     names = [n for n, _ in branches[0][1]]
     cols = {c: F.col(c) for c in raw.columns}
     out = []
@@ -84,7 +86,10 @@ def composite(
             builder = dict(spec)[name]
             expr = F.when(pred, builder(cols)) if expr is None else expr.when(pred, builder(cols))
         out.append(expr.alias(name))
-    return raw.select(*out)
+    claimed = None
+    for pred, _ in branches:
+        claimed = pred if claimed is None else (claimed | pred)
+    return raw.filter(claimed).select(*out)
 
 
 _DMS_RE = r"^\s*(\d+)[:d°]\s*(\d+)[:m']\s*(\d+(?:\.\d+)?)[s\"]?\s*([NSEW])\s*$"
