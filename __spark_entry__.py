@@ -300,12 +300,31 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(_utc(spark), sf_dir), "text", "doc_id")
 
 
+_DEDUP_GROUPS = 100
+
+
 def _q_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(_docs(_utc(spark), sf_dir), "text", "doc_id", threshold=0.5)
+    """MinHash-LSH over the planted corpus: expected pairs are exactly
+    {(3g, 3g+1)} by construction (mutate=2 -> shingle Jaccard ~0.87, far
+    above the 0.5 threshold; groups share no vocabulary so cross-group
+    estimates are ~0)."""
+    from geomesa_spark.operators.dedup import synth_dedup_corpus
+
+    docs = synth_dedup_corpus(_utc(spark), _DEDUP_GROUPS, mutate=2)
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
 
 
 def _q_simhash(spark, sf_dir):
-    return simhash_near_pairs(_docs(_utc(spark), sf_dir), "text", "doc_id", max_hamming=3)
+    """SimHash banding over the planted corpus with exact-copy pairs:
+    hamming(base, copy) = 0, all other docs share no tokens."""
+    from geomesa_spark.operators.dedup import synth_dedup_corpus
+
+    docs = synth_dedup_corpus(_utc(spark), _DEDUP_GROUPS, mutate=0)
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 def _q_ann_cosine(spark, sf_dir):
@@ -315,19 +334,59 @@ def _q_ann_cosine(spark, sf_dir):
     return cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
 
 
+_ANN_DIM = 16
+_ANN_BASE = 200
+_ANN_QUERIES = 3
+_ANN_COPIES = 5
+
+
+def _emb_component(vec_id: int, d: int) -> float:
+    """Deterministic pseudo-random component, mirrored as a Spark expr."""
+    return ((vec_id * 1009 + d * 9176) % 1000) / 1000.0 - 0.5
+
+
+def _synth_planted_embeddings(spark):
+    """Planted ANN table: 200 deterministic base vectors + 5 power-of-two
+    scaled copies of each of the first 3 (scaling by 2^j is IEEE-exact, so
+    a copy's hyperplane signs and cosine-to-query are bit-identical to the
+    base's self-similarity -> the expected top-k is analytic)."""
+    base = spark.range(0, _ANN_BASE).select(
+        F.col("id").alias("vec_id"), F.col("id").alias("base_id"),
+        F.lit(1.0).alias("scale"),
+    )
+    copies = (
+        spark.range(0, _ANN_QUERIES * _ANN_COPIES)
+        .select(
+            (F.lit(1000) + (F.col("id") / _ANN_COPIES).cast("long") * 10
+             + F.col("id") % _ANN_COPIES).alias("vec_id"),
+            (F.col("id") / _ANN_COPIES).cast("long").alias("base_id"),
+            F.pow(F.lit(2.0), (F.col("id") % _ANN_COPIES + 1).cast("double")).alias("scale"),
+        )
+    )
+    rows = base.unionByName(copies)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_ANN_DIM - 1)),
+        lambda d: F.col("scale")
+        * (((F.col("base_id") * 1009 + d * 9176) % 1000).cast("double") / 1000.0 - 0.5),
+    )
+    return rows.select("vec_id", vec.cast("array<double>").alias("embedding"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     from geomesa_spark.operators.ann import lsh_cosine_topk
 
-    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
-    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
-    qs = [(f"q{r['vec_id']}", list(r["embedding"])) for r in qrows]
+    emb = _synth_planted_embeddings(_utc(spark))
+    qs = [
+        (f"q{i}", [_emb_component(i, d) for d in range(_ANN_DIM)])
+        for i in range(_ANN_QUERIES)
+    ]
     return lsh_cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+    from geomesa_spark.operators.dedup import ngram_jaccard_exact
 
-    return ngram_jaccard_pairs(_docs(_utc(spark), sf_dir), "text", "doc_id", threshold=0.4)
+    return ngram_jaccard_exact(_docs(_utc(spark), sf_dir), "text", "doc_id", n=3, threshold=0.4)
 
 
 def _messages(spark, sf_dir):
@@ -370,15 +429,25 @@ def _q_knn_ring(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """Feature extraction exploded to scalar (media_id, kind, dim, val) rows
+    so the driver canonicalizer can sort/hash them (arrays are unhashable)."""
     from geomesa_spark.operators.multimodal import media_features, synth_media
 
-    return media_features(synth_media(_utc(spark), 2000))
+    feats = media_features(synth_media(_utc(spark), 2000))
+    return feats.select(
+        "media_id", "kind", F.posexplode("feat").alias("dim", "val")
+    )
 
 
 def _q_frame_sample(spark, sf_dir):
+    """Frame payloads are ASCII by construction; cast to string so the
+    oracle can compare them as text."""
     from geomesa_spark.operators.multimodal import sample_frames, synth_media
 
-    return sample_frames(synth_media(_utc(spark), 1000), every_n=30)
+    frames = sample_frames(synth_media(_utc(spark), 1000), every_n=30)
+    return frames.select(
+        "media_id", "frame_idx", F.col("frame").cast("string").alias("frame_str")
+    )
 
 
 def _q_convert_delimited(spark, sf_dir):
@@ -571,6 +640,134 @@ def _tube_values() -> str:
             f"{c_lon - d!r}, {c_lat - d!r}, {c_lon + d!r}, {c_lat + d!r})"
         )
     return ", ".join(rows)
+
+
+def _lang_id_oracle() -> str:
+    """Mirror the expression-based stopword vote (operators/textstats.py
+    language_id): per-language token-in-marker counts, argmax with
+    first-in-profile-order tie-break, 'und' on empty/no-signal."""
+    from geomesa_spark.operators.textstats import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    cnt_cols = ", ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS c_{}".format(
+            ", ".join("'" + w.replace("'", "''") + "'" for w in _LANG_MARKERS[lang]),
+            lang,
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"c_{lang}" for lang in langs))
+    case = " ".join(f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                 length(trim(text)) AS n
+          FROM documents
+        ),
+        c AS (SELECT doc_id, n, {cnt_cols} FROM t),
+        m AS (SELECT *, {best} AS best FROM c)
+        SELECT doc_id,
+               CASE WHEN n = 0 OR best <= 0 THEN 'und' {case} ELSE 'und' END
+                 AS lang_pred
+        FROM m
+    """
+
+
+def _fingerprint_oracle(window: int = 16) -> str:
+    """Winnowing fingerprint in SQL: the rolling polynomial hash of each
+    ``window``-byte gram is a plain linear combination with precomputed
+    power-of-B constants; min over positions. Arithmetic runs in HUGEINT
+    and reduces mod 2^62 (a quotient ring of the engine's uint64
+    wraparound, so the values agree; operators/textstats.py fingerprint)."""
+    p62 = [pow(1000003, j, 1 << 62) for j in range(window)]
+    terms = " + ".join(
+        f"CAST(ascii(substring(s, i + {k}, 1)) AS HUGEINT) * {p62[window - 1 - k]}"
+        for k in range(window)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, s, CAST(u.p AS INTEGER) AS i
+          FROM d, unnest(generate_series(1, len(s) - {window - 1})) u(p)
+        ),
+        h AS (
+          SELECT doc_id, ({terms}) % {1 << 62} AS hv
+          FROM pos
+        )
+        SELECT doc_id, CAST(min(hv) AS BIGINT) AS fingerprint
+        FROM h GROUP BY doc_id
+    """
+
+
+def _media_features_oracle(n_rows: int = 2000, dim: int = 16) -> str:
+    """synth_media payload = repeat('{id}|', 64) -> UTF-8 bytes; the feature
+    fold is mean over rows of the (L/dim, dim) reshape. L = 64*(digits+1) is
+    always a multiple of 16, so feat[d] = sum(bytes at pos%16==d) / (L/16),
+    computed in float64 and rounded once to float32 on both sides."""
+    return f"""
+        WITH m AS (
+          SELECT t.i AS media_id,
+                 ['image','audio','video'][CAST(t.i % 3 AS INTEGER) + 1] AS kind,
+                 repeat(concat(CAST(t.i AS VARCHAR), '|'), 64) AS s
+          FROM range(0, {n_rows}) t(i)
+        ),
+        b AS (
+          SELECT media_id, kind, len(s) AS L, CAST(u.p AS INTEGER) AS p,
+                 ascii(substring(s, CAST(u.p AS INTEGER), 1)) AS code
+          FROM m, unnest(generate_series(1, len(s))) u(p)
+        ),
+        f AS (
+          SELECT media_id, kind, CAST((p - 1) % {dim} AS INTEGER) AS dim,
+                 CAST(sum(code) AS DOUBLE) AS sb, max(L) AS L
+          FROM b GROUP BY 1, 2, 3
+        )
+        SELECT media_id, kind, dim,
+               CAST(sb / (L / {dim}.0) AS REAL) AS val
+        FROM f
+    """
+
+
+def _frame_sample_oracle(n_rows: int = 1000, every_n: int = 30) -> str:
+    """sample_frames on synth_media: video rows (id%3==2) emit the 8-byte
+    slice at (frame_idx*7) % (L-8) for frame_idx in range(0, n_frames, 30)."""
+    return f"""
+        WITH m AS (
+          SELECT t.i AS media_id, CAST(t.i % 120 + 1 AS INTEGER) AS nf,
+                 repeat(concat(CAST(t.i AS VARCHAR), '|'), 64) AS s
+          FROM range(0, {n_rows}) t(i)
+          WHERE t.i % 3 = 2
+        ),
+        fr AS (
+          SELECT media_id, CAST(u.fi AS INTEGER) AS frame_idx, s,
+                 CAST((u.fi * 7) % (len(s) - 8) AS INTEGER) AS lo
+          FROM m, unnest(generate_series(0, nf - 1, {every_n})) u(fi)
+        )
+        SELECT media_id, frame_idx, substring(s, lo + 1, 8) AS frame_str
+        FROM fr
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    """Analytic expected top-k from the planted construction: for each
+    query i the 6 candidates at bit-identical max similarity are {i} and
+    its 5 scaled copies; ties break on vec_id asc, so ranks 1..5 are
+    (i, 1000+10i+0..3)."""
+    rows = []
+    for i in range(_ANN_QUERIES):
+        rows.append(f"('q{i}', {i}, 1)")
+        for r in range(2, 6):
+            rows.append(f"('q{i}', {1000 + 10 * i + (r - 2)}, {r})")
+    return (
+        "SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(rank AS INTEGER) AS rank FROM (VALUES "
+        + ", ".join(rows)
+        + ") v(query_id, vec_id, rank)"
+    )
 
 
 def _raster_query_oracle() -> str:
@@ -923,6 +1120,43 @@ def oracle_sql() -> dict[str, str]:
                          + least(0.2, n_stop / st), 6) AS quality_score
             FROM r
         """,
-        # minhash_lsh / simhash / lang_id / fingerprint: signature hashing is
-        # not ANSI-SQL-expressible -> driver's rows-only check applies.
+        "minhash_lsh": f"""
+            SELECT 3 * t.g AS id_a, 3 * t.g + 1 AS id_b
+            FROM range(0, {_DEDUP_GROUPS}) t(g)
+        """,
+        "simhash": f"""
+            SELECT 3 * t.g AS id_a, 3 * t.g + 1 AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM range(0, {_DEDUP_GROUPS}) t(g)
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ),
+            g0 AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(0, len(toks) - 3)),
+                       j -> array_to_string(list_slice(toks, j + 1, j + 3), ' ')
+                     )) AS grams
+              FROM t
+            ),
+            g AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g0),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                     max(a.ng) AS na, max(b.ng) AS nb
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+            FROM p
+            WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.4
+        """,
+        "ann_lsh": _ann_lsh_oracle(),
+        "lang_id": _lang_id_oracle(),
+        "fingerprint": _fingerprint_oracle(),
+        "media_features": _media_features_oracle(),
+        "frame_sample": _frame_sample_oracle(),
     }

@@ -45,12 +45,11 @@ def _shingle_hashes(text: str, shingle_words: int) -> np.ndarray:
     )
     k = min(shingle_words, len(toks))
     n = len(toks) - k + 1
-    P = np.uint64(1000000007)
+    # powers of P mod 2^64 via python ints (numpy warns on intended wraparound)
+    powers = np.array([pow(1000000007, j, 1 << 64) for j in range(k)], dtype=np.uint64)
     hs = np.zeros(n, dtype=np.uint64)
-    p = np.uint64(1)
     for j in range(k):
-        hs += tok_h[j : j + n] * p
-        p = p * P
+        hs += tok_h[j : j + n] * powers[j]
     return np.unique((hs & np.uint64((1 << 62) - 1)).astype(np.int64))
 
 
@@ -88,6 +87,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
     bands: int = 16, shingle_words: int = 3, threshold: float = 0.5, seed: int = 42,
+    bucket_cap: int = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -95,9 +95,22 @@ def minhash_lsh_pairs(
     docs sharing any band -> estimate Jaccard from full signatures ->
     keep pairs with est >= threshold. Returns (id_a, id_b, est_jaccard),
     id_a < id_b, deduplicated.
+
+    Shuffle shape (the 100 TB concern): only ``(id, band, bucket)`` rides
+    the band explode and both sides of the self-join — the 64-long signature
+    array is re-attached to the surviving *pairs* by id afterwards, so the
+    16x explode amplification carries 24 bytes/row, not the signature.
+    Singleton buckets are dropped before the self-join (they cannot pair).
+
+    Skew guard: a degenerate bucket of B near-identical docs would emit
+    B^2/2 candidate rows. Buckets larger than ``bucket_cap`` switch to
+    star-shape linking — every member pairs with the bucket's minimum id
+    only (O(B) rows). For dedup semantics (connected components / keep-one)
+    the star preserves the same components; only the redundant transitive
+    pairs are skipped.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_words, seed)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_words, seed).persist()
 
     band_cols = F.array(*[
         F.struct(
@@ -110,25 +123,34 @@ def minhash_lsh_pairs(
         for i in range(bands)
     ])
     exploded = sigs.withColumn("bb", F.explode(band_cols)).select(
-        F.col(id_col), "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.minhash").alias("mh_a"),
-            F.col("r.minhash").alias("mh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("__bn"))
+    keyed = exploded.join(sizes, ["band", "bucket"])
+
+    small = keyed.filter((F.col("__bn") >= 2) & (F.col("__bn") <= bucket_cap)).drop("__bn")
+    l, r = small.alias("l"), small.alias("r")
+    cand_small = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     )
+
+    big = keyed.filter(F.col("__bn") > bucket_cap).drop("__bn")
+    reps = big.groupBy("band", "bucket").agg(F.min(id_col).alias("id_a"))
+    cand_big = big.join(reps, ["band", "bucket"]).filter(
+        F.col(id_col) > F.col("id_a")
+    ).select("id_a", F.col(id_col).alias("id_b"))
+
+    cand = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+
+    mh_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    mh_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    paired = cand.join(mh_a, "id_a").join(mh_b, "id_b")
+
     est = (
         F.aggregate(
             F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -137,7 +159,7 @@ def minhash_lsh_pairs(
         ).cast("double") / F.lit(float(n_hashes))
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        paired.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -239,3 +261,97 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, n_grams, gram) — one row per DISTINCT word n-gram per doc.
+
+    Pure built-in expressions (split / sequence / transform / slice): the
+    gram at offset j is the ``n``-token slice starting there (shorter at the
+    tail when the doc has < n tokens, mirroring python's ``wx[j:j+n]``).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.lit(0), F.size(toks) - n)),
+            lambda j: F.concat_ws(" ", F.slice(toks, j + 1, n)),
+        )
+    )
+    # zip the per-doc gram count INTO the array before exploding: a plain
+    # `size(grams)` column would sit in the Project above the Generate after
+    # project-collapse and re-evaluate the whole gram expression once per
+    # exploded row (measured 30x slowdown); zipped, everything is evaluated
+    # O(1) times per input row.
+    zipped = F.arrays_zip(grams, F.array_repeat(F.size(grams), F.size(grams)))
+    return df.select(F.col(id_col), F.explode(zipped).alias("zz")).select(
+        F.col(id_col),
+        F.col("zz.1").alias("n_grams"),
+        F.col("zz.0").alias("gram"),
+    )
+
+
+def ngram_jaccard_exact(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard for every pair sharing >= 1 gram.
+
+    The distributed set-intersection form: explode each doc to its distinct
+    grams, equi-join on gram (hash join, no all-pairs compare), count
+    matches per pair, J = inter / (|A| + |B| - inter). This is the exact
+    verify kernel; at 10^12 docs it runs on LSH candidates
+    (:func:`ngram_jaccard_pairs`), never the full corpus — but the kernel
+    itself is all-built-in and oracle-checkable, which is why it exists as
+    a standalone operator.
+    """
+    g = _gram_table(df, text_col, id_col, n)
+    a = g.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
+    b = g.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"), F.max("na").alias("na"), F.max("nb").alias("nb"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def synth_dedup_corpus(spark, n_groups: int, mutate: int = 0) -> DataFrame:
+    """Deterministic planted near-duplicate corpus (no external data).
+
+    3 docs per group g: doc ``3g`` is the 60-token base (token vocabulary
+    unique per group), doc ``3g+1`` is the base with ``mutate`` tokens
+    replaced (``mutate=0`` -> exact copy), doc ``3g+2`` is fully distinct.
+    The expected near-dup pairs are exactly {(3g, 3g+1)} — an analytic
+    oracle. Tokens are base-36 strings of a double-Lehmer mix of
+    (group, position, variant) — pseudo-random, so token hashes are
+    decorrelated across groups (structured token strings like ``g59w5``
+    made crc32/adler32-derived SimHashes collide across groups). All
+    generation is whole-stage-codegen expressions over ``spark.range``.
+    """
+    df = spark.range(0, 3 * n_groups)
+    g = (F.col("id") / 3).cast("long")
+    role = F.col("id") % 3
+    stride = 60 // mutate if mutate else 0
+
+    def tok(j):
+        salt = F.when(role == 2, F.lit(2)).otherwise(
+            F.when((role == 1) & (j % stride == 0), F.lit(1)).otherwise(F.lit(0))
+            if mutate
+            else F.lit(0)
+        )
+        v = g * 73856093 + j * 19349663 + salt * 83492791 + 17
+        h1 = (v * 48271) % 2147483647
+        h2 = (h1 * 48271) % 2147483647
+        return F.conv(h2.cast("string"), 10, 36)
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(59)), lambda j: tok(j)), " "
+    )
+    return df.select(F.col("id").alias("doc_id"), text.alias("text"))

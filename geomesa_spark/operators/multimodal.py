@@ -90,7 +90,12 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 pad = (-len(a)) % dim
                 if pad:
                     a = np.pad(a, (0, pad))
-                feats.append(a.reshape(-1, dim).mean(axis=0))
+                # accumulate the fold in float64 (exact for byte sums), then
+                # round once to float32 — reproducible independent of batch
+                # shape, and SQL-oracle-expressible (sum/n then cast)
+                feats.append(
+                    a.reshape(-1, dim).mean(axis=0, dtype=np.float64).astype(np.float32)
+                )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feat": feats}
             )

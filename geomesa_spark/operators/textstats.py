@@ -89,27 +89,24 @@ def text_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: stopword-marker vote over the profile table.
 
-    Arrow-batched; ties/no-signal resolve to 'und'. (A deterministic
-    classifier, not a model — the Spark-side shape matches what a real
-    fastText-style scorer would use.)
+    Pure built-in expressions (whole-stage codegen, no python): one
+    ``size(filter(tokens, in-markers))`` count per language, then the
+    argmax with deterministic tie-break (first language in profile order
+    wins, matching a fastText-style top-1). No-signal/empty -> 'und'.
     """
     langs = list(_LANG_MARKERS)
-    markers = {l: set(ws) for l, ws in _LANG_MARKERS.items()}
-
-    @F.pandas_udf("string")
-    def lid(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            if not toks:
-                out.append("und")
-                continue
-            scores = [(sum(1 for w in toks if w in markers[l]), l) for l in langs]
-            best = max(scores, key=lambda x: (x[0], -langs.index(x[1])))
-            out.append(best[1] if best[0] > 0 else "und")
-        return pd.Series(out)
-
-    return df.select(F.col(id_col), lid(F.col(text_col)).alias("lang_pred"))
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    counts = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*_LANG_MARKERS[lang])))
+        for lang in langs
+    }
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # build CASE chain; earlier langs checked first
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when((F.length(t) == 0) | (best <= 0), F.lit("und")).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, window: int = 16) -> DataFrame:
@@ -127,12 +124,12 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, window: int = 16) -> 
         # equals masking after every step — but each window hash is a plain
         # length-`window` correlation (window vectorized multiply-adds per
         # doc), no per-character python loop.
-        B = np.uint64(1000003)
         mask = np.uint64((1 << 62) - 1)
-        powers = np.empty(window, dtype=np.uint64)
-        powers[0] = 1
-        for j in range(1, window):
-            powers[j] = powers[j - 1] * B
+        # powers of B mod 2^64 via python ints (numpy would warn on the
+        # intended uint64 wraparound)
+        powers = np.array(
+            [pow(1000003, j, 1 << 64) for j in range(window)], dtype=np.uint64
+        )
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             norm = " ".join((t or "").lower().split()).encode("utf-8")
