@@ -173,13 +173,44 @@ def _q_bbox_time(spark, sf_dir):
     return query(t, cql).select("event_id")
 
 
+_LAYOUT_CACHE = "/tmp/geomesa_layout"
+
+
+def _layout_events(spark, sf_dir):
+    """Materialized z3 layout of the events points (written once per sf_dir,
+    reused across runs): week-partitioned, z3-sorted, with an attribute
+    secondary copy on event_type. This is the path a real deployment
+    queries — the driver suite exercises it so the index's pruning shows up
+    in the bench, not just in write-path tests."""
+    import os
+
+    from geomesa_spark.sources.layout import read_layout, write_layout
+
+    name = sf_dir.strip("/").replace("/", "_")
+    path = f"{_LAYOUT_CACHE}/{name}_events"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = _events_pts(spark, sf_dir)
+        write_layout(t.df, path, lon="lon", lat="lat", dtg="ts", fid="event_id",
+                     attr_indexes=["event_type"])
+    return read_layout(spark, path, lon="lon", lat="lat", dtg="ts", fid="event_id",
+                       attr_indexes=["event_type"],
+                       cardinality={"event_type": "high"})
+
+
 def _q_bbox_time_indexed(spark, sf_dir):
-    """Same predicate through the z3 layout path (week + z-range prune)."""
-    t0 = _events_pts(_utc(spark), sf_dir)
-    t = as_geotable(t0.df, lon="lon", lat="lat", dtg="ts", fid="event_id")
+    """Same predicate as bbox_time, answered from the materialized layout
+    (week partition prune + z3-range row-group skipping)."""
+    t = _layout_events(_utc(spark), sf_dir)
     cql = ("BBOX(geom, -120, -60, 60, 70) AND "
            "ts DURING 2024-01-05T00:00:00Z/2024-01-20T00:00:00Z")
     return query(t, cql).select("event_id")
+
+
+def _q_attr_filter_indexed(spark, sf_dir):
+    """Same predicate as attr_filter, routed to the attribute-sorted
+    secondary copy (attr-idx strategy; PushedFilter + row-group skip)."""
+    t = _layout_events(_utc(spark), sf_dir)
+    return query(t, "event_type = 'click' AND value >= 50.0").select("event_id")
 
 
 def _q_intersects(spark, sf_dir):
@@ -564,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects": _q_intersects,
         "dwithin": _q_dwithin,
         "attr_filter": _q_attr_filter,
+        "attr_filter_indexed": _q_attr_filter_indexed,
         "record_lookup": _q_record_lookup,
         "or_union": _q_or_union,
         "knn": _q_knn,
@@ -859,6 +891,9 @@ def oracle_sql() -> dict[str, str]:
               AND {dw_hav} <= {_DW_M!r}
         """,
         "attr_filter": """
+            SELECT event_id FROM events WHERE event_type = 'click' AND value >= 50.0
+        """,
+        "attr_filter_indexed": """
             SELECT event_id FROM events WHERE event_type = 'click' AND value >= 50.0
         """,
         "record_lookup": """

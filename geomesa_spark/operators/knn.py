@@ -3,26 +3,40 @@
 Rebuilds the reference's KNN geoprocess
 (``ACC/process/knn/KNNQuery.scala:26-102`` — iterative geohash ring expansion
 with a distance-bounded priority queue, ``GeoHashSpiral.scala:54-151``,
-``NearestNeighbors.scala``) two ways:
+``NearestNeighbors.scala``) on cell pruning:
 
-* :func:`knn_join` — broadcast the (small) query-point set, prefilter with a
-  conservative radius box, exact haversine distance, per-query window top-K.
-  One shuffle (the window partition by query id) over a candidate set already
-  cut down by the broadcast prefilter.
-* :func:`knn_ring_expansion` — the reference's adaptive algorithm: start from
-  a small radius, double it for queries that have not yet found K neighbors
-  (driver loop over a cached DataFrame), so dense regions never over-scan.
-  Matches :func:`knn_join` exactly (tested) and scales to sparse data where a
-  fixed radius would miss.
+* :func:`knn_join` — radius-bounded top-K: enumerate the XYZ tile cells
+  covering each query's radius box (driver-side, queries are small), explode
+  to a broadcast ``(query_id, tile)`` table, **equi-join** on the point's
+  tile id (hash join — never a nested-loop compare of every point against
+  every query), exact haversine residual, per-query top-K window over the
+  cell-bounded candidate set. With no radius bound it delegates to the
+  adaptive ring expansion below, which is exact.
+* :func:`knn_ring_expansion` — the ``GeoHashSpiral`` analog: radii start
+  small and double per round; each round joins only still-unsatisfied
+  queries against the cell cover of the *current* radius (level re-picked
+  per round so covers stay a few dozen cells), so dense regions never
+  over-scan and sparse ones converge. A query is finalized only when >= k
+  neighbors lie INSIDE the radius circle (a boxed-but-outside point could
+  be displaced by a closer point in the next ring).
+
+Scale shape: the only join is broadcast-hash on an integer cell key; the
+top-K window shuffles only cell-pruned candidates. At 10^12 rows the
+candidate set per query is O(points within ~2 radius boxes), not O(table).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from geomesa_spark.geom.kernels import meters_to_degrees
+from geomesa_spark.cells.tiles import tiles_for_bbox
+from geomesa_spark.functions.zexpr import tile_id_expr
 from geomesa_spark.plans.compiler import GeoTable
+
+_EARTH_HALF_CIRCUMFERENCE_M = 20_015_087.0  # no point is farther than this
 
 
 def _haversine_cols(lon1, lat1, lon2, lat2):
@@ -39,6 +53,82 @@ def _euclid_deg_cols(lon1, lat1, lon2, lat2):
     return F.sqrt(F.pow(lon1 - lon2, 2) + F.pow(lat1 - lat2, 2))
 
 
+def _level_for_radius(radius_m: float, max_level: int = 11) -> int:
+    """Tile level whose cell height ~ the radius (cover stays a few cells)."""
+    deg = max(1e-9, radius_m / 111_320.0)
+    return max(0, min(max_level, int(math.floor(math.log2(180.0 / deg)))))
+
+
+def _cells_for_radius(lon: float, lat: float, radius_m: float, level: int) -> list[int]:
+    """Tile cells covering the radius box around (lon, lat); IDL-safe.
+
+    The lon half-width is scaled by the worst-case cos(lat) inside the box
+    (superset cover — the exact distance residual rejects over-admits);
+    boxes touching a pole or wrapping the antimeridian split/expand to the
+    full lon range for their lat band. Constants are deliberately
+    conservative (meridian degree rounded DOWN to 111 km; lon width padded
+    1.6x for the sin(dlam/2) chord bound) — the cover must be a strict
+    superset of the haversine circle or ring expansion would drop a true
+    neighbor.
+    """
+    dlat = radius_m / 111_000.0
+    lat_lo, lat_hi = max(-90.0, lat - dlat), min(90.0, lat + dlat)
+    lat_far = max(abs(lat_lo), abs(lat_hi))
+    coslat = max(0.01, math.cos(math.radians(lat_far)))
+    dlon = min(360.0, 1.6 * radius_m / (111_000.0 * coslat))
+    cells: set[int] = set()
+    if dlon >= 180.0 or lat_hi >= 90.0 or lat_lo <= -90.0:
+        cells.update(tiles_for_bbox(-180.0, lat_lo, 180.0, lat_hi, level))
+        return sorted(cells)
+    lon_lo, lon_hi = lon - dlon, lon + dlon
+    if lon_lo < -180.0:  # wrap west
+        cells.update(tiles_for_bbox(lon_lo + 360.0, lat_lo, 180.0, lat_hi, level))
+        lon_lo = -180.0
+    if lon_hi > 180.0:  # wrap east
+        cells.update(tiles_for_bbox(-180.0, lat_lo, lon_hi - 360.0, lat_hi, level))
+        lon_hi = 180.0
+    cells.update(tiles_for_bbox(lon_lo, lat_lo, lon_hi, lat_hi, level))
+    return sorted(cells)
+
+
+def _cell_join_candidates(
+    points: GeoTable,
+    pending: list[tuple[str, float, float]],
+    radius_m: float,
+    metric: str,
+) -> DataFrame:
+    """Broadcast (query_id, tile) cover -> equi-join -> exact distance."""
+    spark = points.df.sparkSession
+    level = _level_for_radius(radius_m)
+    # keep total broadcast rows bounded: coarsen until the cover is small
+    while level > 0:
+        n = sum(len(_cells_for_radius(lon, lat, radius_m, level)) for _, lon, lat in pending)
+        if n <= 4096 * max(1, len(pending)):
+            break
+        level -= 1
+    rows = [
+        (qid, int(cell), lon, lat)
+        for qid, lon, lat in pending
+        for cell in _cells_for_radius(lon, lat, radius_m, level)
+    ]
+    q = spark.createDataFrame(rows, "query_id string, tile long, q_lon double, q_lat double")
+    pts = points.df.withColumn("__tile", tile_id_expr(F.col(points.lon), F.col(points.lat), level))
+    cand = pts.join(F.broadcast(q), pts["__tile"] == q["tile"], "inner").drop("__tile", "tile")
+    dist_fn = _haversine_cols if metric == "haversine" else _euclid_deg_cols
+    return cand.withColumn(
+        "dist",
+        dist_fn(F.col(points.lon), F.col(points.lat), F.col("q_lon"), F.col("q_lat")),
+    )
+
+
+def _topk(points: GeoTable, cand: DataFrame, k: int) -> DataFrame:
+    order = [F.col("dist").asc()]
+    if points.fid:
+        order.append(F.col(points.fid).asc())
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
+
+
 def knn_join(
     points: GeoTable,
     queries: list[tuple[str, float, float]],
@@ -51,95 +141,67 @@ def knn_join(
     Returns point columns + (query_id, dist) with dist in meters (haversine)
     or degrees (euclid), exactly K rows per query (fewer if the table or the
     radius bound runs out). Ties break deterministically on the feature id.
-    """
-    spark = points.df.sparkSession
-    q = spark.createDataFrame(queries, "query_id string, q_lon double, q_lat double")
 
-    df = points.df
-    cond = F.lit(True)
-    if max_radius_m is not None:
-        deg = meters_to_degrees(max_radius_m, 0.0)
-        cond = (
-            F.col(points.lon).between(F.col("q_lon") - deg, F.col("q_lon") + deg)
-            & F.col(points.lat).between(F.col("q_lat") - deg, F.col("q_lat") + deg)
-        )
-    joined = df.join(F.broadcast(q), cond, "inner")
-    dist_fn = _haversine_cols if metric == "haversine" else _euclid_deg_cols
-    joined = joined.withColumn(
-        "dist",
-        dist_fn(F.col(points.lon), F.col(points.lat), F.col("q_lon"), F.col("q_lat")),
-    )
-    if max_radius_m is not None and metric == "haversine":
-        joined = joined.filter(F.col("dist") <= max_radius_m)
-    order = [F.col("dist").asc()]
-    if points.fid:
-        order.append(F.col(points.fid).asc())
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        joined.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .drop("q_lon", "q_lat", "knn_rank")
-    )
+    With ``max_radius_m`` set: one cell-cover equi-join pass. Without: the
+    adaptive ring expansion (exact, never a full-table nested-loop join).
+    """
+    if not queries:
+        spark = points.df.sparkSession
+        empty = spark.createDataFrame([], "query_id string, q_lon double, q_lat double")
+        return points.df.join(empty, F.lit(False), "inner").withColumn(
+            "dist", F.lit(0.0)
+        ).drop("q_lon", "q_lat")
+    if max_radius_m is None:
+        if metric != "haversine":
+            max_radius_m = 360.0 * 111_320.0  # degrees metric: cover everything
+        else:
+            return knn_ring_expansion(points, queries, k)
+    cand = _cell_join_candidates(points, queries, max_radius_m, metric)
+    bound = max_radius_m if metric == "haversine" else max_radius_m / 111_320.0
+    cand = cand.filter(F.col("dist") <= bound)
+    return _topk(points, cand, k).drop("q_lon", "q_lat", "knn_rank")
 
 
 def knn_ring_expansion(
     points: GeoTable,
     queries: list[tuple[str, float, float]],
     k: int,
-    r0_m: float = 1000.0,
-    max_radius_m: float = 1_000_000.0,
+    r0_m: float = 1_000_000.0,
+    max_radius_m: float = _EARTH_HALF_CIRCUMFERENCE_M,
 ) -> DataFrame:
     """Adaptive-radius KNN (the ``GeoHashSpiral`` ring-expansion analog).
 
-    Driver loop: maintain per-query search radius; query round r joins only
-    the still-unsatisfied queries against a radius-boxed candidate set; any
-    query with >= k in-radius hits is finalized (in-radius matters: a point
-    inside the box but outside the circle could be displaced by a closer
-    point in the next ring). Radii double until satisfied or max_radius_m.
+    Driver loop: all pending queries share the round's radius; round r
+    equi-joins them against the cell cover of that radius (level re-picked
+    per round); any query with >= k in-radius hits is finalized. Radii
+    double until satisfied or ``max_radius_m`` (the default exceeds half the
+    earth's circumference, so the result is the exact global top-K).
     """
-    spark = points.df.sparkSession
-    pending = {qid: (lon, lat, r0_m) for qid, lon, lat in queries}
+    pending = list(queries)
+    radius = min(r0_m, max_radius_m)
     results: list[DataFrame] = []
-    df = points.df
 
     while pending:
-        rows = [(qid, lon, lat, r) for qid, (lon, lat, r) in pending.items()]
-        q = spark.createDataFrame(rows, "query_id string, q_lon double, q_lat double, radius double")
-        deg = F.col("radius") / 111_320.0 / F.greatest(
-            F.lit(0.01), F.cos(F.radians(F.col("q_lat")))
+        cand = _cell_join_candidates(points, pending, radius, "haversine").filter(
+            F.col("dist") <= radius
         )
-        cand = df.join(
-            F.broadcast(q),
-            F.col(points.lon).between(F.col("q_lon") - deg, F.col("q_lon") + deg)
-            & F.col(points.lat).between(F.col("q_lat") - deg, F.col("q_lat") + deg),
-            "inner",
-        ).withColumn(
-            "dist",
-            _haversine_cols(F.col(points.lon), F.col(points.lat), F.col("q_lon"), F.col("q_lat")),
-        ).filter(F.col("dist") <= F.col("radius"))
-
-        order = [F.col("dist").asc()]
-        if points.fid:
-            order.append(F.col(points.fid).asc())
-        w = Window.partitionBy("query_id").orderBy(*order)
-        topk = cand.withColumn("knn_rank", F.row_number().over(w)).filter(
-            F.col("knn_rank") <= k
-        )
+        topk = _topk(points, cand, k)
         counts = {
             r["query_id"]: r["n"]
             for r in topk.groupBy("query_id").agg(F.count("*").alias("n")).collect()
         }
-        done = [qid for qid, (lon, lat, r) in pending.items()
-                if counts.get(qid, 0) >= k or r >= max_radius_m]
+        done = [
+            qid for qid, _, _ in pending
+            if counts.get(qid, 0) >= k or radius >= max_radius_m
+        ]
         if done:
             results.append(
-                topk.filter(F.col("query_id").isin(done)).drop("q_lon", "q_lat", "radius", "knn_rank")
+                topk.filter(F.col("query_id").isin(done)).drop(
+                    "q_lon", "q_lat", "knn_rank"
+                )
             )
-        for qid in done:
-            del pending[qid]
-        for qid in list(pending):
-            lon, lat, r = pending[qid]
-            pending[qid] = (lon, lat, min(r * 2, max_radius_m))
+        pending = [q for q in pending if q[0] not in done]
+        radius = min(radius * 2, max_radius_m)
 
     if not results:
         return knn_join(points, [], k)

@@ -56,6 +56,13 @@ class GeoTable:
     week_col: str | None = None
     z3_col: str | None = None
     z2_col: str | None = None
+    # secondary attribute-sorted copies (AttributeTable.scala analog): column
+    # name -> DataFrame of the same rows range-partitioned + sorted by that
+    # column, so attribute predicates skip row groups instead of full-scanning
+    attr_tables: dict[str, DataFrame] = field(default_factory=dict)
+    # per-attribute cardinality hints ('high' | 'low') for strategy costing
+    # (UTL/stats/Cardinality.scala, AttributeIdxStrategy.scala:170-183)
+    cardinality: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -84,6 +91,35 @@ class CompiledQuery:
 @lru_cache(maxsize=256)
 def _cached_geom(wkt: str) -> Geometry:
     return parse_wkt(wkt)
+
+
+# DWithin unit table (GeoTools/reference accepted units). A single shared
+# normalization for BOTH the prune-box and the residual: a mismatch between
+# the two (e.g. "miles" box computed as meters) would produce a non-superset
+# prune — silently wrong rows.
+_UNIT_METERS = {
+    "m": 1.0, "meter": 1.0, "meters": 1.0, "metre": 1.0, "metres": 1.0,
+    "km": 1000.0, "kilometer": 1000.0, "kilometers": 1000.0,
+    "ft": 0.3048, "foot": 0.3048, "feet": 0.3048,
+    "mi": 1609.344, "mile": 1609.344, "miles": 1609.344,
+    "statute miles": 1609.344,
+    "nm": 1852.0, "nautical miles": 1852.0, "nauticalmiles": 1852.0,
+}
+
+
+def dwithin_meters(distance: float, units: str) -> float | None:
+    """Distance in meters, or None for degree (planar) semantics.
+
+    Unknown units raise — a guessed conversion could under-size the prune
+    box (mirrors the strict unit parse in ``FLT/visitor/
+    QueryPlanFilterVisitor`` / GeoTools DistanceBufferOperator units).
+    """
+    u = (units or "").strip().lower()
+    if u in ("", "degree", "degrees", "deg"):
+        return None
+    if u not in _UNIT_METERS:
+        raise ValueError(f"unsupported DWITHIN unit: {units!r}")
+    return float(distance) * _UNIT_METERS[u]
 
 
 def _pip_udf_factory(wkt: str):
@@ -162,10 +198,11 @@ def _lower_residual(t: GeoTable, pred: P.Pred) -> Column:
         return coarse & _pip_udf_factory(pred.geom.to_wkt())(lon, lat)
     if isinstance(pred, P.DWithin):
         cx, cy = pred.geom.rings[0][0]
-        if pred.units.startswith("meter") or pred.units in ("m", "metre", "metres"):
-            deg = meters_to_degrees(pred.distance, cy)
+        meters = dwithin_meters(pred.distance, pred.units)
+        if meters is not None:
+            deg = meters_to_degrees(meters, cy)
             coarse = lon.between(cx - deg, cx + deg) & lat.between(cy - deg, cy + deg)
-            return coarse & (_haversine_expr(lon, lat, cx, cy) <= F.lit(float(pred.distance)))
+            return coarse & (_haversine_expr(lon, lat, cx, cy) <= F.lit(meters))
         # degree euclidean (the reference's post-rewrite semantics)
         d = float(pred.distance)
         coarse = lon.between(cx - d, cx + d) & lat.between(cy - d, cy + d)
@@ -246,11 +283,8 @@ def _extract_bbox(t: GeoTable, leaves: list[P.Pred]):
             merge(leaf.geom.bbox())
         elif isinstance(leaf, P.DWithin):
             cx, cy = leaf.geom.rings[0][0]
-            d = (
-                meters_to_degrees(leaf.distance, cy)
-                if leaf.units.startswith("m")
-                else float(leaf.distance)
-            )
+            meters = dwithin_meters(leaf.distance, leaf.units)
+            d = meters_to_degrees(meters, cy) if meters is not None else float(leaf.distance)
             merge((cx - d, cy - d, cx + d, cy + d))
     return box
 
@@ -397,12 +431,38 @@ def compile_query(table: GeoTable, pred: P.Pred | str) -> CompiledQuery:
     bbox = _extract_bbox(table, leaves)
     interval = _extract_interval(table, leaves) if table.dtg else None
 
+    # attribute-index candidacy: a sargable leaf on a column with a
+    # secondary sorted copy (AttributeIdxStrategy.scala:119-183)
+    attr_idx_col = None
+    for leaf in leaves:
+        fld = getattr(leaf, "field", None)
+        if fld and fld in table.attr_tables and (
+            isinstance(leaf, (P.AttrIn, P.AttrBetween))
+            or (isinstance(leaf, P.AttrCmp) and leaf.op in ("=", "<", "<=", ">", ">="))
+        ):
+            attr_idx_col = fld
+            break
+    z3_ok = bool(bbox and interval and table.z3_col and table.week_col)
+    z2_ok = bool(bbox and table.z2_col)
+    # cost preference (QueryStrategyDecider.scala:104-127): record < attr
+    # (high-cardinality) < z3 < z2/st < attr (unknown) < fullscan
+    use_attr_idx = attr_idx_col is not None and (
+        table.cardinality.get(attr_idx_col) == "high" or not (z3_ok or z2_ok)
+    )
+
+    source_df = table.df
     if id_leaf is not None:
         stats.strategy = "record"  # RecordIdxStrategy analog: fid filter is the prune
-    elif bbox and interval and table.z3_col and table.week_col:
+    elif use_attr_idx:
+        # scan the attribute-sorted copy: the residual's comparison on the
+        # sort column reaches parquet as a PushedFilter and row-group
+        # min/max stats skip the rest — the lexicoded-attr-range analog
+        stats.strategy = f"attr-idx({attr_idx_col})"
+        source_df = table.attr_tables[attr_idx_col]
+    elif z3_ok:
         stats.strategy = "z3"
         prune = _z3_prune(table, bbox, interval, stats)
-    elif bbox and table.z2_col:
+    elif z2_ok:
         stats.strategy = "z2"
         prune = _z2_prune(table, bbox, stats)
     elif interval and table.week_col:
@@ -416,7 +476,7 @@ def compile_query(table: GeoTable, pred: P.Pred | str) -> CompiledQuery:
     else:
         stats.strategy = "attribute" if not bbox else "fullscan"
 
-    df = table.df
+    df = source_df
     if prune is not None:
         df = df.filter(prune)
     df = df.filter(residual)

@@ -79,6 +79,7 @@ def write_layout(
     fid: str | None = "id",
     n_shards: int = 16,
     target_partitions: int | None = None,
+    attr_indexes: list[str] | None = None,
 ) -> None:
     """Write the engine's physical layout to parquet.
 
@@ -86,17 +87,31 @@ def write_layout(
     so every output file covers a tight z interval -> row-group min/max
     skipping approximates the reference's key-range scans. Directory
     partitioning on week gives partition pruning for bounded-time queries.
+
+    ``attr_indexes``: per-column secondary copies under ``path/_attr/<col>/``
+    (underscore-prefixed so the main reader ignores them), range-partitioned
+    and sorted by that column — the reference's lexicoded attribute index
+    (``ACC/data/tables/AttributeTable.scala:83-115``) as sorted parquet:
+    a predicate on the column reaches the scan as a PushedFilter and
+    row-group min/max stats skip everything else.
     """
     enriched = enrich_geo(df, lon, lat, dtg, fid, n_shards, engine="expr")
     parts = target_partitions or max(df.sparkSession.sparkContext.defaultParallelism, n_shards)
     if dtg is not None:
-        enriched = enriched.repartitionByRange(parts, F.col("week"), F.col("shard"), F.col("z3"))
-        enriched = enriched.sortWithinPartitions("week", "z3")
-        enriched.write.mode("overwrite").partitionBy("week").parquet(path)
+        main = enriched.repartitionByRange(parts, F.col("week"), F.col("shard"), F.col("z3"))
+        main = main.sortWithinPartitions("week", "z3")
+        main.write.mode("overwrite").partitionBy("week").parquet(path)
     else:
-        enriched = enriched.repartitionByRange(parts, F.col("shard"), F.col("z2"))
-        enriched = enriched.sortWithinPartitions("z2")
-        enriched.write.mode("overwrite").parquet(path)
+        main = enriched.repartitionByRange(parts, F.col("shard"), F.col("z2"))
+        main = main.sortWithinPartitions("z2")
+        main.write.mode("overwrite").parquet(path)
+    for col in attr_indexes or []:
+        # secondary sort key z3/z2 keeps rows for one attribute value
+        # spatially clustered (AttributeTable rows carry the z-index suffix)
+        zsec = "z3" if dtg is not None else "z2"
+        sec = enriched.repartitionByRange(parts, F.col(col), F.col(zsec))
+        sec = sec.sortWithinPartitions(col, zsec)
+        sec.write.mode("overwrite").parquet(f"{path}/_attr/{col}")
 
 
 def read_layout(
@@ -106,9 +121,17 @@ def read_layout(
     lat: str = "lat",
     dtg: str | None = "dtg",
     fid: str | None = "id",
+    attr_indexes: list[str] | None = None,
+    cardinality: dict[str, str] | None = None,
 ) -> GeoTable:
+    """Open a written layout. ``attr_indexes`` lists the secondary copies to
+    attach (written by :func:`write_layout`); ``cardinality`` passes the
+    per-attribute cost hints through to the planner."""
     df = spark.read.parquet(path)
     cols = set(df.columns)
+    attr_tables = {
+        col: spark.read.parquet(f"{path}/_attr/{col}") for col in attr_indexes or []
+    }
     return GeoTable(
         df=df,
         lon=lon,
@@ -118,6 +141,8 @@ def read_layout(
         week_col="week" if "week" in cols else None,
         z3_col="z3" if "z3" in cols else None,
         z2_col="z2" if "z2" in cols else None,
+        attr_tables=attr_tables,
+        cardinality=cardinality or {},
     )
 
 

@@ -1,0 +1,212 @@
+"""Round-2 additions: attribute secondary index, cell-pruned kNN, DWithin
+unit normalization, LSH hot-bucket star linking, composite drop semantics,
+sub-cell density fallback."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.plans.compiler import GeoTable, compile_query, dwithin_meters
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rows = []
+    for i in range(400):
+        lon = -20.0 + (i * 7919 % 4000) / 100.0
+        lat = -20.0 + (i * 104729 % 4000) / 100.0
+        rows.append((str(i), lon, lat,
+                     datetime(2020, 3, 1 + i % 4, i % 24, tzinfo=timezone.utc),
+                     f"type{i % 3}"))
+    df = spark.createDataFrame(
+        rows, "id string, lon double, lat double, dtg timestamp, kind string"
+    )
+    return GeoTable(df=df, lon="lon", lat="lat", dtg="dtg", fid="id")
+
+
+# ---------------------------------------------------------------------------
+# attribute secondary index
+# ---------------------------------------------------------------------------
+
+
+def test_attr_index_layout_roundtrip(spark, pts, tmp_path):
+    from geomesa_spark.sources.layout import read_layout, write_layout
+
+    path = str(tmp_path / "layout")
+    write_layout(pts.df, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                 attr_indexes=["kind"])
+    t = read_layout(spark, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                    attr_indexes=["kind"], cardinality={"kind": "high"})
+    cq = compile_query(t, "kind = 'type1'")
+    assert cq.stats.strategy == "attr-idx(kind)"
+    got = sorted(r["id"] for r in cq.df.select("id").collect())
+    want = sorted(r["id"] for r in pts.df.filter(F.col("kind") == "type1").collect())
+    assert got == want
+    # same rows as the main table (the secondary copy is a full copy)
+    assert t.attr_tables["kind"].count() == pts.df.count()
+
+
+def test_attr_index_cost_choice(spark, pts, tmp_path):
+    """With a spatial+time predicate present, the z3 strategy wins unless
+    the attribute is hinted high-cardinality."""
+    from geomesa_spark.sources.layout import read_layout, write_layout
+
+    path = str(tmp_path / "layout2")
+    write_layout(pts.df, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                 attr_indexes=["kind"])
+    cql = ("BBOX(geom, -10, -10, 10, 10) AND kind = 'type1' AND "
+           "dtg DURING 2020-03-01T00:00:00Z/2020-03-03T00:00:00Z")
+    t_low = read_layout(spark, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                        attr_indexes=["kind"])
+    assert compile_query(t_low, cql).stats.strategy == "z3"
+    t_high = read_layout(spark, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                         attr_indexes=["kind"], cardinality={"kind": "high"})
+    assert compile_query(t_high, cql).stats.strategy == "attr-idx(kind)"
+    a = {r["id"] for r in compile_query(t_low, cql).df.select("id").collect()}
+    b = {r["id"] for r in compile_query(t_high, cql).df.select("id").collect()}
+    assert a == b  # strategy changes the scan, never the answer
+
+
+# ---------------------------------------------------------------------------
+# cell-pruned kNN
+# ---------------------------------------------------------------------------
+
+
+def test_knn_no_nested_loop_join(pts):
+    from geomesa_spark.operators.knn import knn_join
+
+    df = knn_join(pts, [("q0", 0.0, 0.0), ("q1", 10.0, -10.0)], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_cell_join_matches_brute_force(pts):
+    from geomesa_spark.operators.knn import knn_join
+
+    queries = [("q0", 0.0, 0.0), ("q1", 19.0, 19.0), ("q2", -19.9, 3.3)]
+    got = {
+        (r["query_id"], r["id"])
+        for r in knn_join(pts, queries, k=7).select("query_id", "id").collect()
+    }
+    rows = pts.df.select("id", "lon", "lat").collect()
+
+    def hav(lon1, lat1, lon2, lat2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        a = (math.sin((rl2 - rl1) / 2) ** 2
+             + math.cos(rl1) * math.cos(rl2) * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * 6371008.8 * math.asin(math.sqrt(min(1.0, a)))
+
+    want = set()
+    for qid, qlon, qlat in queries:
+        ranked = sorted(rows, key=lambda r: (hav(r["lon"], r["lat"], qlon, qlat), r["id"]))
+        want |= {(qid, r["id"]) for r in ranked[:7]}
+    assert got == want
+
+
+def test_knn_cells_cover_is_superset():
+    from geomesa_spark.operators.knn import _cells_for_radius, _level_for_radius
+
+    # high-latitude + antimeridian-wrapping covers stay supersets
+    for lon, lat, r in [(179.5, 60.0, 500_000.0), (0.0, 89.0, 300_000.0),
+                        (-179.9, -45.0, 1_000_000.0)]:
+        level = _level_for_radius(r)
+        cells = set(_cells_for_radius(lon, lat, r, level))
+        from geomesa_spark.cells.tiles import tile_id
+        import numpy as np
+
+        # sample points on the radius circle; their cells must be covered
+        for theta in range(0, 360, 15):
+            dlat = (r / 111_194.93) * math.sin(math.radians(theta))
+            dlon = (r / (111_194.93 * max(0.01, math.cos(math.radians(lat))))) \
+                * math.cos(math.radians(theta))
+            plon = (lon + dlon + 180.0) % 360.0 - 180.0
+            plat = max(-90.0, min(90.0, lat + dlat))
+            cid = int(tile_id(np.array([plon]), np.array([plat]), level)[0])
+            assert cid in cells, (lon, lat, r, theta)
+
+
+# ---------------------------------------------------------------------------
+# DWithin units
+# ---------------------------------------------------------------------------
+
+
+def test_dwithin_unit_normalization(pts):
+    # 100 km in miles vs meters — same circle, same rows
+    m = compile_query(pts, "DWITHIN(geom, POINT(0 0), 160934.4, meters)")
+    mi = compile_query(pts, "DWITHIN(geom, POINT(0 0), 100, miles)")
+    a = sorted(r["id"] for r in m.df.select("id").collect())
+    b = sorted(r["id"] for r in mi.df.select("id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_dwithin_unknown_unit_rejected(pts):
+    with pytest.raises(ValueError, match="unsupported DWITHIN unit"):
+        compile_query(pts, "DWITHIN(geom, POINT(0 0), 100, furlongs)")
+
+
+def test_dwithin_meters_helper():
+    assert dwithin_meters(1.0, "km") == 1000.0
+    assert dwithin_meters(1.0, "miles") == 1609.344
+    assert dwithin_meters(2.0, "degrees") is None
+
+
+# ---------------------------------------------------------------------------
+# LSH hot-bucket star linking
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_hot_bucket_star_linking(spark):
+    from geomesa_spark.operators.dedup import minhash_lsh_pairs
+
+    # 40 identical docs -> one giant bucket; cap 10 forces star linking
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.9, bucket_cap=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # star: every doc links to the representative (min id) — components intact
+    assert got == {(0, i) for i in range(1, 40)}
+
+
+def test_minhash_small_buckets_full_pairs(spark):
+    from geomesa_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa") for i in range(4)]
+    rows += [(100 + i, f"unique{i} tokens{i} here{i} only{i} once{i} never{i} shared{i} words{i}")
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+# ---------------------------------------------------------------------------
+# composite converter drop + density fallback
+# ---------------------------------------------------------------------------
+
+
+def test_composite_drops_unclaimed_rows(spark):
+    from geomesa_spark.sources.convert import composite
+
+    raw = spark.createDataFrame(
+        [("csv", "5"), ("swap", "7"), ("mystery", "9")], "fmt string, a string"
+    )
+    spec = [("x", lambda c: c["a"].cast("int"))]
+    out = composite(raw, [(F.col("fmt") == "csv", spec), (F.col("fmt") == "swap", spec)])
+    assert sorted(r["x"] for r in out.collect()) == [5, 7]
+
+
+def test_density_subcell_polygon_not_dropped(spark):
+    from geomesa_spark.operators.aggregations import density_geometries
+
+    # polygon much smaller than one grid cell: weight snaps to its center cell
+    df = spark.createDataFrame(
+        [("POLYGON ((5.4 5.4, 5.42 5.4, 5.42 5.42, 5.4 5.42, 5.4 5.4))", 3.0)],
+        "wkt string, wt double",
+    )
+    grid = density_geometries(df, "wkt", (0.0, 0.0, 10.0, 10.0), 10, 10, "wt")
+    cells = {(r["i"], r["j"]): r["weight"] for r in grid.collect()}
+    assert cells == {(5, 5): 3.0}
