@@ -220,6 +220,75 @@ def _q_intersects(spark, sf_dir):
     return query(t, cql).select("event_id")
 
 
+_GEOM_BOX = (-50.0025, -20.0025, 30.0025, 45.0025)
+
+
+def _geom_rows(spark, sf_dir):
+    """Geometry-typed rows derived from events: even ids become axis-aligned
+    square polygons (half-size keyed to the id), odd ids horizontal line
+    segments — shapes whose exact box-intersection an ANSI oracle can state
+    while the engine runs the generic WKT kernels."""
+    t = _events_pts(spark, sf_dir)
+    lon, lat = F.col("lon"), F.col("lat")
+    h = F.lit(0.055) + (F.col("event_id") % 10).cast("double") * F.lit(0.02)
+    ll = F.lit(0.065) + (F.col("event_id") % 7).cast("double") * F.lit(0.03)
+    sq = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        lon - h, lat - h, lon + h, lat - h, lon + h, lat + h,
+        lon - h, lat + h, lon - h, lat - h,
+    )
+    ln = F.format_string("LINESTRING (%s %s, %s %s)", lon - ll, lat, lon + ll, lat)
+    wkt = F.when(F.col("event_id") % 2 == 0, sq).otherwise(ln)
+    return t.df.select("event_id", wkt.alias("wkt"))
+
+
+def _q_bbox_geoms(spark, sf_dir):
+    """BBOX over non-point geometry rows through the cell-decomposed layout
+    (explode per cover cell, cell-range prune, exact kernel on straddlers,
+    id dedupe — STIndexEntry.scala:43-61 / IndexSchema.scala:298-307)."""
+    import os
+
+    from geomesa_spark.sources.geom_layout import (
+        query_geom_bbox,
+        read_geom_layout,
+        write_geom_layout,
+    )
+
+    _utc(spark)
+    name = sf_dir.strip("/").replace("/", "_")
+    path = f"{_LAYOUT_CACHE}/{name}_geoms"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_geom_layout(_geom_rows(spark, sf_dir), path, wkt_col="wkt")
+    lay = read_geom_layout(spark, path)
+    return query_geom_bbox(lay, _GEOM_BOX, fid="event_id").select("event_id")
+
+
+def _q_within(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    (ax, ay), (bx, by), (cx, cy) = _TRI[0][1], _TRI[0][2], _TRI[0][3]
+    cql = f"WITHIN(geom, POLYGON(({ax} {ay}, {bx} {by}, {cx} {cy}, {ax} {ay})))"
+    return query(t, cql).select("event_id")
+
+
+def _q_contains_pt(spark, sf_dir):
+    """CONTAINS over point rows: only rows whose geometry equals the literal
+    point match (events sharing event 42's geoparsed grid point)."""
+    t = _events_pts(_utc(spark), sf_dir)
+    lon42 = -180.0 + (42 * 7919 % 36000) / 100.0
+    lat42 = -90.0 + (42 * 104729 % 18000) / 100.0
+    return query(t, f"CONTAINS(geom, POINT({lon42!r} {lat42!r}))").select("event_id")
+
+
+def _q_disjoint(spark, sf_dir):
+    t = _events_pts(_utc(spark), sf_dir)
+    (ax, ay), (bx, by), (cx, cy) = _TRI[0][1], _TRI[0][2], _TRI[0][3]
+    cql = (
+        f"BBOX(geom, -60, -60, 60, 60) AND "
+        f"DISJOINT(geom, POLYGON(({ax} {ay}, {bx} {by}, {cx} {cy}, {ax} {ay})))"
+    )
+    return query(t, cql).select("event_id")
+
+
 def _q_dwithin(spark, sf_dir):
     t = _events_pts(_utc(spark), sf_dir)
     cql = f"DWITHIN(geom, POINT({_DW_LON} {_DW_LAT}), {_DW_M}, meters)"
@@ -482,9 +551,11 @@ def _q_frame_sample(spark, sf_dir):
 
 
 def _q_convert_delimited(spark, sf_dir):
-    """Converter end-to-end: events formatted to pipe-delimited lines, parsed
-    back through the converter spec; oracle is the original table."""
-    from geomesa_spark.functions.registry import resolve_function
+    """Converter end-to-end via STRING specs (the reference's expression
+    language): events formatted to pipe-delimited lines, parsed back through
+    a parsed spec; oracle is the original table. $0 is the raw line, $1..n
+    the split fields (Transformers.scala ref semantics)."""
+    from geomesa_spark.functions.dsl import parse_spec
     from geomesa_spark.sources.convert import apply_converter, delimited_text
 
     ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
@@ -493,12 +564,30 @@ def _q_convert_delimited(spark, sf_dir):
         .alias("line")
     )
     raw = delimited_text(lines, "line", "|", ["f0", "f1", "f2"])
-    spec = [
-        ("event_id", lambda c: resolve_function("toLong")(c["f0"])),
-        ("event_type", lambda c: resolve_function("stripQuotes")(c["f1"])),
-        ("value", lambda c: resolve_function("toDouble")(c["f2"])),
-    ]
+    spec = parse_spec(
+        [
+            "event_id = toLong($1)",
+            "event_type = stripQuotes($2)",
+            "value = toDouble($3)",
+        ],
+        fields=["line", "f0", "f1", "f2"],
+    )
     return apply_converter(raw, spec)
+
+
+def _q_transform_project(spark, sf_dir):
+    """Query.properties transform surface: projection + derived expressions
+    through the function registry (QueryPlanner.scala:234-297)."""
+    t = _events_pts(_utc(spark), sf_dir)
+    return query(
+        t,
+        "BBOX(geom, -50, -20, 30, 45)",
+        properties=[
+            "event_id",
+            "label=strConcat(event_type, '-tag')",
+            "v2=toDouble(value)",
+        ],
+    )
 
 
 def _q_dms_parse(spark, sf_dir):
@@ -593,6 +682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_time": _q_bbox_time,
         "bbox_time_indexed": _q_bbox_time_indexed,
         "intersects": _q_intersects,
+        "within": _q_within,
+        "contains_pt": _q_contains_pt,
+        "disjoint": _q_disjoint,
+        "bbox_geoms": _q_bbox_geoms,
         "dwithin": _q_dwithin,
         "attr_filter": _q_attr_filter,
         "attr_filter_indexed": _q_attr_filter_indexed,
@@ -625,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "convert_delimited": _q_convert_delimited,
+        "transform_project": _q_transform_project,
         "dms_parse": _q_dms_parse,
         "bbox_idl": _q_bbox_idl,
         "density_wkt": _q_density_wkt,
@@ -883,6 +977,39 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PTS_CTE}
             SELECT event_id FROM pts WHERE {_tri_sql()}
         """,
+        "within": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts WHERE {_tri_sql()}
+        """,
+        "contains_pt": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE lon = {-180.0 + (42 * 7919 % 36000) / 100.0!r}
+              AND lat = {-90.0 + (42 * 104729 % 18000) / 100.0!r}
+        """,
+        "disjoint": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -60 AND 60
+              AND NOT {_tri_sql()}
+        """,
+        "bbox_geoms": f"""
+            WITH {_PTS_CTE},
+            g AS (
+              SELECT event_id, lon, lat,
+                     0.055 + CAST(event_id % 10 AS DOUBLE) * 0.02 AS h,
+                     0.065 + CAST(event_id % 7 AS DOUBLE) * 0.03 AS ll
+              FROM pts
+            )
+            SELECT event_id FROM g
+            WHERE CASE WHEN event_id % 2 = 0 THEN
+                    lon - h <= {_GEOM_BOX[2]!r} AND lon + h >= {_GEOM_BOX[0]!r}
+                    AND lat - h <= {_GEOM_BOX[3]!r} AND lat + h >= {_GEOM_BOX[1]!r}
+                  ELSE
+                    lat BETWEEN {_GEOM_BOX[1]!r} AND {_GEOM_BOX[3]!r}
+                    AND lon + ll >= {_GEOM_BOX[0]!r} AND lon - ll <= {_GEOM_BOX[2]!r}
+                  END
+        """,
         "dwithin": f"""
             WITH {_PTS_CTE}
             SELECT event_id FROM pts
@@ -1037,6 +1164,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "convert_delimited": """
             SELECT event_id, event_type, value FROM events
+        """,
+        "transform_project": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id, event_type || '-tag' AS label,
+                   CAST(value AS DOUBLE) AS v2
+            FROM pts
+            WHERE lon BETWEEN -50 AND 30 AND lat BETWEEN -20 AND 45
         """,
         "dms_parse": """
             SELECT event_id,

@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 FUNCTIONS: dict[str, Callable[..., Column]] = {}
 
 
+def _c(v) -> Column:
+    """Coerce DSL literals (python str/int/float) to Columns where a
+    function combines them with column args (string-spec calls pass
+    literals through as raw values, mirroring Transformers' typed Exprs)."""
+    return v if isinstance(v, Column) else F.lit(v)
+
+
 def register(name: str):
     def deco(fn):
         FUNCTIONS[name] = fn
@@ -42,8 +49,10 @@ register("capitalize")(lambda c: F.initcap(c))
 register("lowercase")(lambda c: F.lower(c))
 register("uppercase")(lambda c: F.upper(c))
 register("regexReplace")(lambda pattern, repl, c: F.regexp_replace(c, pattern, repl))
-register("concat")(lambda *cs: F.concat(*cs))
+register("concat")(lambda *cs: F.concat(*[_c(c) for c in cs]))
+register("strConcat")(lambda *cs: F.concat(*[_c(c) for c in cs]))  # GeoTools transform name
 register("substr")(lambda c, a, b: F.substring(c, a + 1, b - a))
+register("substring")(lambda c, a, b: F.substring(c, a + 1, b - a))
 
 # --- casts (Transformers.scala:46-47,120-129) -------------------------------
 # try_cast throughout: converter casts must yield NULL on malformed input
@@ -75,6 +84,41 @@ register("sha256")(lambda c: F.sha2(c, 256))
 register("uuid")(lambda: F.expr("uuid()"))
 register("base64")(lambda c: F.base64(c))
 register("murmur3")(lambda c: F.xxhash64(c))  # 64-bit stable hash for ids/salts
+
+# --- predicates (Transformers.scala:53-92 BinaryPredicate / and/or/not) ------
+def _register_cmp(prefix: str, cast: str | None):
+    def mk(op):
+        def fn(a, b, _op=op):
+            x, y = _c(a), _c(b)
+            if cast:
+                x, y = x.try_cast(cast), y.try_cast(cast)
+            return {
+                "Eq": x == y, "NEq": x != y, "LT": x < y, "GT": x > y,
+                "LTEq": x <= y, "GTEq": x >= y,
+            }[_op]
+
+        return fn
+
+    for op in ("Eq", "NEq", "LT", "GT", "LTEq", "GTEq"):
+        register(f"{prefix}{op}")(mk(op))
+
+
+_register_cmp("str", None)
+_register_cmp("int", "int")
+_register_cmp("long", "long")
+_register_cmp("double", "double")
+
+register("and")(lambda *cs: _reduce_bool(cs, True))
+register("or")(lambda *cs: _reduce_bool(cs, False))
+register("not")(lambda c: ~_c(c))
+
+
+def _reduce_bool(cs, is_and: bool):
+    out = _c(cs[0])
+    for c in cs[1:]:
+        out = (out & _c(c)) if is_and else (out | _c(c))
+    return out
+
 
 # --- misc --------------------------------------------------------------------
 register("lineNo")(lambda: F.monotonically_increasing_id())

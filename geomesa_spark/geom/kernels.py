@@ -95,6 +95,160 @@ def _on_ring_boundary(lon, lat, ring) -> np.ndarray:
     return on_edge
 
 
+def points_on_boundary(lon, lat, geom: Geometry) -> np.ndarray:
+    """Points exactly on a geometry's boundary (polygon rings / line path).
+
+    Backs the TOUCHES predicate for point rows: a point touches an areal or
+    lineal geometry iff it lies on the boundary (OGC dimension rules;
+    accepted-predicate set ``geomesa-filter/.../package.scala:275-287``).
+    """
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    out = np.zeros(lon.shape, dtype=bool)
+    if geom.kind in ("POLYGON", "MULTIPOLYGON"):
+        for p in geom.polygons():
+            for ring in p.rings:
+                out |= _on_ring_boundary(lon, lat, ring)
+        return out
+    if geom.kind in ("LINESTRING", "MULTILINESTRING"):
+        for ring in geom.rings:
+            out |= _on_ring_boundary(lon, lat, ring)
+        return out
+    raise ValueError(f"TOUCHES not defined for point rows vs {geom.kind}")
+
+
+def _segment_intersects_box(x0, y0, x1, y1, box) -> bool:
+    """Scalar segment-vs-axis-aligned-box test (Liang-Barsky clip)."""
+    bx0, by0, bx1, by1 = box
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - bx0), (dx, bx1 - x0), (-dy, y0 - by0), (dy, by1 - y0)
+    ):
+        if p == 0.0:
+            if q < 0.0:
+                return False
+        else:
+            r = q / p
+            if p < 0.0:
+                if r > t1:
+                    return False
+                t0 = max(t0, r)
+            else:
+                if r < t0:
+                    return False
+                t1 = min(t1, r)
+    return t0 <= t1
+
+
+def geometry_intersects_box(g: Geometry, box) -> bool:
+    """Exact geometry-vs-axis-aligned-box intersection (boundary inclusive).
+
+    The residual test for geometry-typed rows against a BBOX query —
+    the JTS ``geometry.intersects(envelope)`` the reference applies after
+    its coarse geohash ranges (``ACC/iterators/SpatioTemporalIntersecting
+    Iterator``), rebuilt per geometry kind:
+
+    * POINT/MULTIPOINT: point-in-box
+    * LINESTRING: any segment clips the box
+    * POLYGON: any vertex in box, any box corner in polygon, or any edge
+      clips the box (covers containment both ways + crossing)
+    """
+    bx0, by0, bx1, by1 = box
+    if g.kind in ("POINT", "MULTIPOINT"):
+        pts = g.rings[0]
+        return bool(points_in_bbox(pts[:, 0], pts[:, 1], bx0, by0, bx1, by1).any())
+    if g.kind in ("LINESTRING", "MULTILINESTRING"):
+        for ring in g.rings:
+            for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+                if _segment_intersects_box(x0, y0, x1, y1, box):
+                    return True
+        return False
+    if g.kind in ("POLYGON", "MULTIPOLYGON"):
+        for p in g.polygons():
+            shell = p.rings[0]
+            if points_in_bbox(shell[:, 0], shell[:, 1], bx0, by0, bx1, by1).any():
+                return True
+            corners_x = np.array([bx0, bx1, bx1, bx0])
+            corners_y = np.array([by0, by0, by1, by1])
+            if points_in_polygon(corners_x, corners_y, p).any():
+                return True
+            for ring in p.rings:
+                for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+                    if _segment_intersects_box(x0, y0, x1, y1, box):
+                        return True
+        return False
+    raise ValueError(f"unsupported geometry kind: {g.kind}")
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Scalar segment-segment intersection (orientation tests, inclusive)."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if abs(v) < 1e-18 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):  # c collinear with a-b: is it between?
+        return (
+            min(a[0], b[0]) - 1e-12 <= c[0] <= max(a[0], b[0]) + 1e-12
+            and min(a[1], b[1]) - 1e-12 <= c[1] <= max(a[1], b[1]) + 1e-12
+        )
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(p1, p2, p3):
+        return True
+    if o2 == 0 and on_seg(p1, p2, p4):
+        return True
+    if o3 == 0 and on_seg(p3, p4, p1):
+        return True
+    return bool(o4 == 0 and on_seg(p3, p4, p2))
+
+
+def geometry_intersects_polygon(g: Geometry, poly: Geometry) -> bool:
+    """Exact geometry-vs-polygon intersection (boundary inclusive).
+
+    General INTERSECTS residual for geometry-typed rows — the
+    ``geometry.intersects(queryPolygon)`` JTS call of the reference's fine
+    filter, per row-geometry kind: vertex containment both ways + pairwise
+    edge intersection. Build sides are query constants (small); the row
+    geometry is the data side.
+    """
+    if g.kind in ("POINT", "MULTIPOINT"):
+        pts = g.rings[0]
+        return bool(points_in_polygon(pts[:, 0], pts[:, 1], poly).any())
+    if g.kind in ("LINESTRING", "MULTILINESTRING"):
+        for ring in g.rings:
+            if points_in_polygon(ring[:, 0], ring[:, 1], poly).any():
+                return True
+            for p in poly.polygons():
+                for pring in p.rings:
+                    for a, b in zip(ring[:-1], ring[1:]):
+                        for c, d in zip(pring[:-1], pring[1:]):
+                            if _segments_intersect(a, b, c, d):
+                                return True
+        return False
+    if g.kind in ("POLYGON", "MULTIPOLYGON"):
+        for gp in g.polygons():
+            shell = gp.rings[0]
+            if points_in_polygon(shell[:, 0], shell[:, 1], poly).any():
+                return True
+            for p in poly.polygons():
+                qshell = p.rings[0]
+                if points_in_polygon(qshell[:, 0], qshell[:, 1], gp).any():
+                    return True
+                for gring in gp.rings:
+                    for pring in p.rings:
+                        for a, b in zip(gring[:-1], gring[1:]):
+                            for c, d in zip(pring[:-1], pring[1:]):
+                                if _segments_intersect(a, b, c, d):
+                                    return True
+        return False
+    raise ValueError(f"unsupported geometry kind: {g.kind}")
+
+
 def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     """Great-circle distance in meters (vectorized haversine)."""
     lon1, lat1 = np.radians(np.asarray(lon1, np.float64)), np.radians(np.asarray(lat1, np.float64))

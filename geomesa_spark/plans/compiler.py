@@ -131,6 +131,17 @@ def _pip_udf_factory(wkt: str):
     return pip
 
 
+def _boundary_udf_factory(wkt: str):
+    @F.pandas_udf("boolean")
+    def onb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from geomesa_spark.geom.kernels import points_on_boundary
+
+        g = _cached_geom(wkt)
+        return pd.Series(points_on_boundary(lon.to_numpy(), lat.to_numpy(), g))
+
+    return onb
+
+
 def _is_axis_aligned_box(g: Geometry) -> bool:
     if g.kind != "POLYGON" or len(g.rings) != 1 or len(g.rings[0]) != 5:
         return False
@@ -190,12 +201,31 @@ def _lower_residual(t: GeoTable, pred: P.Pred) -> Column:
         return (
             lon.between(pred.lon_min, pred.lon_max) & lat.between(pred.lat_min, pred.lat_max)
         )
-    if isinstance(pred, P.Intersects):
+    if isinstance(pred, (P.Intersects, P.Within)):
+        # point rows: WITHIN(point, polygon) and INTERSECTS coincide
+        # (boundary-inclusive PIP; fixtures avoid exact-boundary points —
+        # FLT/package.scala:275-287 accepted-predicate set)
         b = pred.geom.bbox()
         coarse = lon.between(b[0], b[2]) & lat.between(b[1], b[3])
         if _is_axis_aligned_box(pred.geom):
             return coarse
         return coarse & _pip_udf_factory(pred.geom.to_wkt())(lon, lat)
+    if isinstance(pred, P.Contains):
+        # row CONTAINS literal: a point row contains only an equal point
+        if pred.geom.kind == "POINT":
+            px, py = pred.geom.rings[0][0]
+            return (lon == F.lit(float(px))) & (lat == F.lit(float(py)))
+        return F.lit(False)  # a 0-dim row cannot contain a 1/2-dim geometry
+    if isinstance(pred, P.Touches):
+        # point touches areal/lineal geometry iff on its boundary
+        return _boundary_udf_factory(pred.geom.to_wkt())(lon, lat)
+    if isinstance(pred, (P.Crosses, P.Overlaps)):
+        # OGC dimension rules: a point row can neither cross nor overlap
+        # anything (crossing needs higher-dim interiors, overlap needs
+        # equal-dim partial sharing; equal points are "equals", not overlaps)
+        return F.lit(False)
+    if isinstance(pred, P.Disjoint):
+        return ~_lower_residual(t, P.Intersects(pred.field, pred.geom))
     if isinstance(pred, P.DWithin):
         cx, cy = pred.geom.rings[0][0]
         meters = dwithin_meters(pred.distance, pred.units)
@@ -279,7 +309,11 @@ def _extract_bbox(t: GeoTable, leaves: list[P.Pred]):
                 continue  # IDL-crossing: residual-only (no single z-range box)
             if not is_whole_world(leaf.lon_min, leaf.lat_min, leaf.lon_max, leaf.lat_max):
                 merge((leaf.lon_min, leaf.lat_min, leaf.lon_max, leaf.lat_max))
-        elif isinstance(leaf, P.Intersects):
+        elif isinstance(leaf, (P.Intersects, P.Within, P.Touches)):
+            merge(leaf.geom.bbox())
+        elif isinstance(leaf, P.Contains) and leaf.geom.kind == "POINT":
+            # rows containing the point must cover it -> the point is a
+            # valid prune box (exact for point rows, superset for areal)
             merge(leaf.geom.bbox())
         elif isinstance(leaf, P.DWithin):
             cx, cy = leaf.geom.rings[0][0]
@@ -491,6 +525,7 @@ def query(
     limit: int | None = None,
     auths: set[str] | None = None,
     vis_col: str = "vis",
+    properties: list[str] | None = None,
 ) -> DataFrame:
     """Compile and return the DataFrame, with the GeoTools ``Query`` knobs:
 
@@ -501,12 +536,25 @@ def query(
     * ``auths`` — visibility filter: keep rows whose ``vis_col`` label is
       empty/null or within the caller's auth set
       (``geomesa-security/.../VisibilityFilter.scala`` applied at
-      ``QueryPlanner.scala:319-324``; simple single-label model).
+      ``QueryPlanner.scala:319-324``; simple single-label model);
+    * ``properties`` — projection/transform list: plain column names or
+      ``derived=expr`` strings parsed through the converter function
+      registry (``Query.properties`` + transform-SFT derivation,
+      ``QueryPlanner.scala:234-297``). Applied after the visibility filter
+      (a transform may project the vis label away) and before sort/limit
+      (sorting on derived properties is allowed).
     """
     df = compile_query(table, cql).df
     if auths is not None and vis_col in df.columns:
         c = F.col(vis_col)
         df = df.filter(c.isNull() | (c == "") | c.isin(list(auths)))
+    if properties:
+        from geomesa_spark.functions.dsl import parse_properties
+
+        cols = {c: F.col(c) for c in df.columns}
+        df = df.select(
+            *[builder(cols).alias(name) for name, builder in parse_properties(properties)]
+        )
     if sort_by:
         df = df.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in sort_by])
     if limit is not None:

@@ -51,6 +51,46 @@ class Intersects(Pred):
 
 
 @dataclass
+class Within(Pred):
+    """Row geometry WITHIN the literal geometry."""
+
+    field: str
+    geom: Geometry
+
+
+@dataclass
+class Contains(Pred):
+    """Row geometry CONTAINS the literal geometry."""
+
+    field: str
+    geom: Geometry
+
+
+@dataclass
+class Touches(Pred):
+    field: str
+    geom: Geometry
+
+
+@dataclass
+class Crosses(Pred):
+    field: str
+    geom: Geometry
+
+
+@dataclass
+class Overlaps(Pred):
+    field: str
+    geom: Geometry
+
+
+@dataclass
+class Disjoint(Pred):
+    field: str
+    geom: Geometry
+
+
+@dataclass
 class DWithin(Pred):
     field: str
     geom: Geometry  # point
@@ -119,6 +159,7 @@ _TOKEN = re.compile(
 
 _KEYWORDS = {
     "AND", "OR", "NOT", "BBOX", "INTERSECTS", "WITHIN", "CONTAINS", "DWITHIN",
+    "TOUCHES", "CROSSES", "OVERLAPS", "DISJOINT",
     "DURING", "BETWEEN", "LIKE", "IS", "NULL", "IN", "INCLUDE",
     "POINT", "POLYGON", "MULTIPOLYGON", "LINESTRING", "MULTIPOINT", "MULTILINESTRING",
 }
@@ -253,13 +294,19 @@ class _Parser:
                 args.append(float(self.expect("number")))
             self.expect("rparen")
             return BBox(field, *args)
-        if k in ("INTERSECTS", "WITHIN", "CONTAINS"):
+        if k in ("INTERSECTS", "WITHIN", "CONTAINS", "TOUCHES", "CROSSES",
+                 "OVERLAPS", "DISJOINT"):
             self.expect("lparen")
             field = self.expect("word")
             self.expect("comma")
             geom = self._geom_literal()
             self.expect("rparen")
-            return Intersects(field, geom)
+            cls = {
+                "INTERSECTS": Intersects, "WITHIN": Within, "CONTAINS": Contains,
+                "TOUCHES": Touches, "CROSSES": Crosses, "OVERLAPS": Overlaps,
+                "DISJOINT": Disjoint,
+            }[k]
+            return cls(field, geom)
         if k == "DWITHIN":
             self.expect("lparen")
             field = self.expect("word")
