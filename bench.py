@@ -141,6 +141,32 @@ def join_job(spark) -> None:
     _noop(out)
 
 
+_QUERY_CQL = (
+    "BBOX(geom, -120, -60, 60, 70) AND "
+    "warc_ts DURING 2010-06-01T00:00:00Z/2010-06-15T00:00:00Z"
+)  # ~36% of the globe x ~4% of the crawl year -> ~1.4% of rows qualify
+
+
+def indexed_query_job(spark) -> None:
+    """Query the written z3 layout: week partition prune + z3-range
+    row-group skipping (the reference's key-range scan analog)."""
+    from geomesa_spark.plans.compiler import query
+    from geomesa_spark.sources.layout import read_layout
+
+    t = read_layout(spark, LAYOUT, lon="lon", lat="lat", dtg="warc_ts", fid="doc_id")
+    _noop(query(t, _QUERY_CQL).select("doc_id"))
+
+
+def fullscan_query_job(spark) -> None:
+    """Same predicate, same files, index columns ignored: residual-only full
+    scan. The indexed/fullscan ratio is the measured value of the layout."""
+    from geomesa_spark.plans.compiler import GeoTable, query
+
+    df = spark.read.parquet(LAYOUT)
+    t = GeoTable(df, lon="lon", lat="lat", dtg="warc_ts", fid="doc_id")
+    _noop(query(t, _QUERY_CQL).select("doc_id"))
+
+
 def control_job(spark) -> None:
     """Scaling control: the engine's full arithmetic path (geoparse + z2/z3
     Morton keys + tile ids) over BENCH_CONTROL_ROWS generated rows, with NO
@@ -182,17 +208,25 @@ def _time_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     names = [
-        "bbox", "bbox_time_indexed", "bbox_idl", "intersects", "dwithin",
+        "bbox", "bbox_time", "bbox_time_indexed", "bbox_idl", "intersects",
+        "within", "disjoint", "contains_pt", "dwithin", "attr_filter",
+        "attr_filter_indexed", "bbox_geoms",
         "knn", "knn_ring", "proximity", "tube", "spatial_join_poly",
         "density", "temporal_density", "tile_counts", "tile_rollup",
         "raster_query", "unique_hist", "bin_records", "dedup_exact",
         "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh",
         "text_quality", "lang_id", "fingerprint", "extract_text",
-        "convert_delimited", "dms_parse", "geojson_roundtrip", "replay",
-        "map_agg_json", "media_features", "frame_sample",
+        "convert_delimited", "transform_project", "dms_parse",
+        "geojson_roundtrip", "replay", "map_agg_json", "media_features",
+        "frame_sample",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
+    # materialize the layout caches up front: the *_indexed / bbox_geoms
+    # timings measure the query against the written layout, not the
+    # one-time write (ingest cost is the layout_write bench stage)
+    entrymod._layout_events(spark, SF_DIR)
+    _noop(qs["bbox_geoms"](spark, SF_DIR))
     out = {}
     for name in names:
         t0 = time.perf_counter()
@@ -230,6 +264,15 @@ def _append_baseline_md(result: dict) -> None:
             f"| {result['n_docs']} | layout_write | — | — | {HI} | "
             f"{result['layout_write_sec']} | {result['ingest_docs_per_sec']} | n/a (disk) |\n"
         )
+        if "index_speedup" in result:
+            f.write(
+                f"\nIndexed vs fullscan on the {result['n_docs']}-row layout "
+                f"(same files, same predicate): indexed "
+                f"{result['indexed_query_sec']} s vs fullscan "
+                f"{result['fullscan_query_sec']} s -> "
+                f"**{result['index_speedup']}x** from week partition prune + "
+                f"z3 row-group skipping.\n"
+            )
 
 
 def _phase(cpus: int, fn):
@@ -279,6 +322,10 @@ def _run_child_phase(phase: str, cpus: int, reps: int):
             return {"t": _timed(control_job, spark, reps=reps)}
         if phase == "join":
             return {"t": _timed(join_job, spark, reps=reps)}
+        if phase == "qidx":
+            return {"t": _timed(indexed_query_job, spark, reps=reps)}
+        if phase == "qfull":
+            return {"t": _timed(fullscan_query_job, spark, reps=reps)}
         if phase == "queries":
             return {"queries": _time_queries(spark)}
         raise SystemExit(f"unknown phase {phase}")
@@ -331,6 +378,8 @@ def main() -> None:
     t_join_hi = _phase_proc("join", HI, reps=3)["t"]
     if not skip_scaling:
         t_join_lo = _phase_proc("join", LO, reps=2)["t"]
+    t_qidx = _phase_proc("qidx", HI, reps=3)["t"]
+    t_qfull = _phase_proc("qfull", HI, reps=3)["t"]
     queries = _phase_proc("queries", HI)["queries"]
 
     def _scale(t_hi, t_lo, rows=N_DOCS):
@@ -351,6 +400,9 @@ def main() -> None:
         "docs_per_sec": round(N_DOCS / t_join_hi, 1),
         "ingest_docs_per_sec": round(N_DOCS / t_write, 1),
         "layout_write_sec": round(t_write, 3),
+        "indexed_query_sec": round(t_qidx, 3),
+        "fullscan_query_sec": round(t_qfull, 3),
+        "index_speedup": round(t_qfull / t_qidx, 2),
         "scaling": {
             "cpus_lo": LO,
             "cpus_hi": HI,

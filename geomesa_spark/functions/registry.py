@@ -122,3 +122,12 @@ def _reduce_bool(cs, is_and: bool):
 
 # --- misc --------------------------------------------------------------------
 register("lineNo")(lambda: F.monotonically_increasing_id())
+
+
+def _avro_path(c, path):
+    from geomesa_spark.sources.convert import avro_path
+
+    return avro_path(_c(c), path)
+
+
+register("avroPath")(_avro_path)

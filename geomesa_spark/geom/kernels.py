@@ -181,6 +181,27 @@ def geometry_intersects_box(g: Geometry, box) -> bool:
     raise ValueError(f"unsupported geometry kind: {g.kind}")
 
 
+def box_within_polygon(box, poly: Geometry) -> bool:
+    """True iff the axis-aligned box lies entirely inside the polygon.
+
+    Exact for simple polygons (with holes): all four corners inside AND no
+    polygon/hole edge clips the box. Backs the 'interior cell' class of the
+    adaptive cover — points in such a cell skip the exact PIP residual
+    (``GeohashUtils.scala:915-1063`` contained-vs-overlapping geohash sets).
+    """
+    bx0, by0, bx1, by1 = box
+    cx = np.array([bx0, bx1, bx1, bx0])
+    cy = np.array([by0, by0, by1, by1])
+    if not points_in_polygon(cx, cy, poly).all():
+        return False
+    for p in poly.polygons():
+        for ring in p.rings:
+            for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+                if _segment_intersects_box(x0, y0, x1, y1, box):
+                    return False
+    return True
+
+
 def _segments_intersect(p1, p2, p3, p4) -> bool:
     """Scalar segment-segment intersection (orientation tests, inclusive)."""
 

@@ -25,7 +25,9 @@ from geomesa_spark.plans.compiler import GeoTable
 
 
 def bin_records(table: GeoTable, track_col: str) -> DataFrame:
-    """The logical BIN projection: (track_hash, secs, lat, lon), time-sorted.
+    """The logical BIN projection: (track_hash, secs, lat, lon), time-sorted
+    per partition — a global sort would be an all-to-one shuffle at 100 TB;
+    consumers that need a total order add their own orderBy.
 
     track_hash matches the reference's int hash of the track id; here a
     deterministic 32-bit hash (xxhash64 folded) so both engines can agree.
@@ -40,7 +42,7 @@ def bin_records(table: GeoTable, track_col: str) -> DataFrame:
             F.col(table.lat).cast("float").alias("lat"),
             F.col(table.lon).cast("float").alias("lon"),
         )
-        .orderBy("track", "secs")
+        .sortWithinPartitions("track", "secs")
     )
 
 

@@ -61,7 +61,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
     keep = h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    return keep.select(id_col, "content_hash").orderBy(id_col)
+    # no global orderBy: a total sort is an all-to-one shuffle at 100 TB and
+    # neither dedup semantics nor the (order-insensitive) gate needs it
+    return keep.select(id_col, "content_hash")
 
 
 def minhash_signatures(

@@ -51,20 +51,80 @@ def _cover_level(bbox: tuple, max_cells: int = 64, max_level: int = 18) -> int:
     return 0
 
 
+def _cell_xy(level: int, cell: int) -> tuple[int, int]:
+    rest = cell - level * (1 << 52)
+    return rest >> 26, rest & ((1 << 26) - 1)
+
+
+def adaptive_polygon_cover(
+    g: Geometry, max_cells: int = 64, refine_levels: int = 2
+) -> list[tuple[int, int, bool]]:
+    """Geometry-shaped cover: (level, cell, interior) tuples.
+
+    The reference's worst-candidate-first geohash decomposition
+    (``GeohashUtils.scala:638-702,915-1063``) as quadtree refinement on the
+    XYZ grid: start from the coarse bbox cover, DROP cells that miss the
+    geometry (a concave/sprawling polygon no longer admits its whole bbox),
+    classify cells wholly inside as ``interior`` (their points skip the
+    exact PIP residual), and split boundary cells up to ``refine_levels``
+    deeper while the cover stays within ``max_cells``.
+    """
+    from geomesa_spark.cells.tiles import tile_bbox
+    from geomesa_spark.geom.kernels import box_within_polygon, geometry_intersects_box
+
+    b = g.bbox()
+    level0 = _cover_level(b, max_cells=max(8, max_cells // 4))
+    out: list[tuple[int, int, bool]] = []
+    frontier: list[tuple[int, int]] = []
+
+    def classify(level: int, cell: int):
+        x, y = _cell_xy(level, cell)
+        cb = tile_bbox(level, x, y)
+        if not geometry_intersects_box(g, cb):
+            return
+        if box_within_polygon(cb, g):
+            out.append((level, cell, True))
+        else:
+            frontier.append((level, cell))
+
+    for cell in tiles_for_bbox(b[0], b[1], b[2], b[3], level0):
+        classify(level0, int(cell))
+    for _ in range(refine_levels):
+        if len(out) + 4 * len(frontier) > max_cells:
+            break
+        work, frontier = frontier, []
+        for lv, cell in work:
+            x, y = _cell_xy(lv, cell)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    child = (lv + 1) * (1 << 52) + (2 * x + dx) * (1 << 26) + (2 * y + dy)
+                    classify(lv + 1, child)
+    out.extend((lv, c, False) for lv, c in frontier)
+    return out
+
+
 def polygon_covers(polys: list[tuple[str, str]], max_cells: int = 64) -> pd.DataFrame:
     """Decompose (poly_id, wkt) -> cover rows (poly_id, level, cell, is_box, ...).
 
-    For boxes the exact bounds ride along so the residual stays pure
-    arithmetic; general polygons carry their WKT for the PIP kernel.
+    Boxes enumerate their bbox tiles (their residual is already exact
+    arithmetic). General polygons get the adaptive geometry-shaped cover;
+    interior cells carry wkt = NULL, which downstream means "no exact test
+    needed" — only boundary-cell candidates reach the PIP kernel.
     """
     rows = []
     for pid, wkt in polys:
         g = parse_wkt(wkt)
         b = g.bbox()
-        level = _cover_level(b, max_cells=max_cells)
         is_box = _is_axis_aligned_box(g)
-        for cell in tiles_for_bbox(b[0], b[1], b[2], b[3], level):
-            rows.append((pid, level, int(cell), is_box, b[0], b[1], b[2], b[3], wkt))
+        if is_box or g.kind not in ("POLYGON", "MULTIPOLYGON"):
+            level = _cover_level(b, max_cells=max_cells)
+            for cell in tiles_for_bbox(b[0], b[1], b[2], b[3], level):
+                rows.append((pid, level, int(cell), is_box,
+                             b[0], b[1], b[2], b[3], wkt))
+        else:
+            for level, cell, interior in adaptive_polygon_cover(g, max_cells=max_cells):
+                rows.append((pid, level, int(cell), is_box,
+                             b[0], b[1], b[2], b[3], None if interior else wkt))
     return pd.DataFrame(
         rows,
         columns=["poly_id", "level", "cell", "is_box",

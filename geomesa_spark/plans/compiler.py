@@ -546,8 +546,9 @@ def query(
     """
     df = compile_query(table, cql).df
     if auths is not None and vis_col in df.columns:
-        c = F.col(vis_col)
-        df = df.filter(c.isNull() | (c == "") | c.isin(list(auths)))
+        from geomesa_spark.runtime.security import visibility_filter
+
+        df = visibility_filter(df, vis_col, set(auths))
     if properties:
         from geomesa_spark.functions.dsl import parse_properties
 

@@ -153,6 +153,58 @@ def kafka_geomessage_sink(df: DataFrame, brokers: str, topic: str):
     )
 
 
+def avro_path(col: Column, path: str) -> Column:
+    """AvroPath expression -> nested Column access.
+
+    The reference's AvroPath language
+    (``CNV/geomesa-convert-avro/.../AvroPath.scala``: ``/field`` descent and
+    ``[n]`` array indexing over decoded records) maps directly onto Spark's
+    nested struct/array accessors once ``from_avro``/the native Avro reader
+    has decoded the record — the path compiles to a getField/getItem chain
+    (whole-stage codegen, no python). Union-type ``$type=`` filters are not
+    supported: Spark's Avro decoding already resolves unions to typed
+    members, so select the member field instead.
+    """
+    import re as _re
+
+    out = col
+    for part in path.strip("/").split("/"):
+        if not part:
+            continue
+        m = _re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)((?:\[\d+\])*)", part)
+        if not m:
+            raise ValueError(f"bad AvroPath segment: {part!r}")
+        out = out.getField(m.group(1))
+        for idx in _re.findall(r"\[(\d+)\]", m.group(2)):
+            out = out.getItem(int(idx))
+    return out
+
+
+def to_gml(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str | None = None,
+    props: list[str] | None = None,
+    type_name: str = "feature",
+) -> Column:
+    """One GML 2 featureMember string per row
+    (``TLS/FeatureExporter.scala:48-96`` GML path) — pure string-expression
+    composition, JVM-side."""
+    parts = [F.lit(f"<gml:featureMember><{type_name}")]
+    if id_col:
+        parts += [F.lit(' fid="'), F.col(id_col).cast("string"), F.lit('"')]
+    parts += [
+        F.lit("><geometry><gml:Point><gml:coordinates>"),
+        F.col(lon).cast("string"), F.lit(","), F.col(lat).cast("string"),
+        F.lit("</gml:coordinates></gml:Point></geometry>"),
+    ]
+    for p in props or []:
+        parts += [F.lit(f"<{p}>"), F.col(p).cast("string"), F.lit(f"</{p}>")]
+    parts.append(F.lit(f"</{type_name}></gml:featureMember>"))
+    return F.concat(*parts)
+
+
 def to_geojson(
     df: DataFrame,
     lon: str = "lon",

@@ -185,3 +185,44 @@ def test_kafka_sink_builder(spark):
     )
     writer = kafka_geomessage_sink(stream, "broker:9092", "features")
     assert writer is not None  # configured without needing a broker
+
+
+def test_avro_path_nested_access(spark):
+    from geomesa_spark.sources.convert import avro_path
+
+    df = spark.createDataFrame(
+        [(1, {"position": {"lat": 45.0, "lon": -120.0}, "tags": ["a", "b"]})],
+        "id int, rec struct<position: struct<lat: double, lon: double>, tags: array<string>>",
+    )
+    out = df.select(
+        avro_path(F.col("rec"), "/position/lat").alias("lat"),
+        avro_path(F.col("rec"), "/tags[1]").alias("t1"),
+    ).first()
+    assert out["lat"] == 45.0 and out["t1"] == "b"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad AvroPath segment"):
+        avro_path(F.col("rec"), "/pos ition")
+
+
+def test_avro_path_via_dsl(spark):
+    from geomesa_spark.functions.dsl import parse_spec
+    from geomesa_spark.sources.convert import apply_converter
+
+    df = spark.createDataFrame(
+        [({"position": {"lat": 45.0}},)], "rec struct<position: struct<lat: double>>"
+    )
+    spec = parse_spec(["lat = avroPath($rec, '/position/lat')"])
+    assert apply_converter(df, spec).first()["lat"] == 45.0
+
+
+def test_gml_export_roundtrip(spark):
+    from geomesa_spark.sources.convert import to_gml
+
+    df = spark.createDataFrame([(7, 10.5, -3.25, "click")],
+                               "event_id int, lon double, lat double, kind string")
+    gml = df.select(to_gml(df, "lon", "lat", id_col="event_id",
+                           props=["kind"]).alias("g")).first()["g"]
+    assert '<gml:coordinates>10.5,-3.25</gml:coordinates>' in gml
+    assert 'fid="7"' in gml and "<kind>click</kind>" in gml
+    assert gml.startswith("<gml:featureMember><feature")

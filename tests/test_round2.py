@@ -210,3 +210,93 @@ def test_density_subcell_polygon_not_dropped(spark):
     grid = density_geometries(df, "wkt", (0.0, 0.0, 10.0, 10.0), 10, 10, "wt")
     cells = {(r["i"], r["j"]): r["weight"] for r in grid.collect()}
     assert cells == {(5, 5): 3.0}
+
+
+# ---------------------------------------------------------------------------
+# adaptive polygon decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_cover_drops_and_classifies(spark):
+    from geomesa_spark.cells.tiles import tile_bbox
+    from geomesa_spark.geom.kernels import box_within_polygon, geometry_intersects_box
+    from geomesa_spark.geom.wkt import parse_wkt
+    from geomesa_spark.operators.spatial_join import _cell_xy, adaptive_polygon_cover
+
+    # L-shaped concave polygon: its bbox cover would admit the missing
+    # quadrant; the adaptive cover must not
+    g = parse_wkt("POLYGON ((0 0, 40 0, 40 20, 20 20, 20 40, 0 40, 0 0))")
+    cover = adaptive_polygon_cover(g, max_cells=64)
+    assert cover, "cover must not be empty"
+    has_interior = any(i for _, _, i in cover)
+    assert has_interior  # big polygon -> some wholly-inside cells
+    for level, cell, interior in cover:
+        x, y = _cell_xy(level, cell)
+        cb = tile_bbox(level, x, y)
+        assert geometry_intersects_box(g, cb)  # no wasted cells
+        if interior:
+            assert box_within_polygon(cb, g)
+    # the missing quadrant's center must not be covered by any cell
+    import numpy as np
+    from geomesa_spark.cells.tiles import tile_id as tid
+    for level in {lv for lv, _, _ in cover}:
+        missing = int(tid(np.array([35.0]), np.array([35.0]), level)[0])
+        assert missing not in {c for lv, c, _ in cover if lv == level}
+
+
+def test_spatial_join_concave_polygon_exact(spark):
+    from geomesa_spark.geom.kernels import points_in_polygon
+    from geomesa_spark.geom.wkt import parse_wkt
+    from geomesa_spark.operators.spatial_join import spatial_join
+    from geomesa_spark.plans.compiler import GeoTable
+
+    wkt = "POLYGON ((0 0, 40 0, 40 20, 20 20, 20 40, 0 40, 0 0))"
+    rows = [(str(i), (i * 7919 % 5000) / 100.0 - 5.0, (i * 104729 % 5000) / 100.0 - 5.0)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id string, lon double, lat double")
+    t = GeoTable(df=df, lon="lon", lat="lat", dtg=None, fid="id")
+    got = {r["id"] for r in spatial_join(t, [("L", wkt)]).select("id").collect()}
+    import numpy as np
+    g = parse_wkt(wkt)
+    lons = np.array([r[1] for r in rows]); lats = np.array([r[2] for r in rows])
+    want = {rows[i][0] for i in np.flatnonzero(points_in_polygon(lons, lats, g))}
+    assert got == want and len(want) > 50
+
+
+# ---------------------------------------------------------------------------
+# visibility expressions
+# ---------------------------------------------------------------------------
+
+
+def test_visibility_expressions(spark):
+    from geomesa_spark.runtime.security import evaluate_visibility, visibility_filter
+
+    assert evaluate_visibility("a&b", {"a", "b"})
+    assert not evaluate_visibility("a&b", {"a"})
+    assert evaluate_visibility("a|b", {"b"})
+    assert evaluate_visibility("(a|b)&c", {"b", "c"})
+    assert not evaluate_visibility("(a|b)&c", {"a", "b"})
+    assert evaluate_visibility("", {"x"}) and evaluate_visibility(None, set())
+    with pytest.raises(ValueError):
+        evaluate_visibility("a&b|c", {"a"})  # mixing needs parens
+
+    df = spark.createDataFrame(
+        [(1, "admin"), (2, "admin&ops"), (3, "admin|ops"), (4, ""), (5, None)],
+        "id int, vis string",
+    )
+    got = sorted(r["id"] for r in visibility_filter(df, "vis", {"ops"}).collect())
+    assert got == [3, 4, 5]
+    got = sorted(r["id"] for r in visibility_filter(df, "vis", {"admin", "ops"}).collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_query_auths_uses_expressions(spark):
+    from geomesa_spark.plans.compiler import GeoTable, query
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, "a&b"), (2, 1.0, 1.0, "a"), (3, 2.0, 2.0, None)],
+        "id int, lon double, lat double, vis string",
+    )
+    t = GeoTable(df=df, lon="lon", lat="lat", dtg=None, fid="id")
+    got = sorted(r["id"] for r in query(t, "INCLUDE", auths={"a"}).collect())
+    assert got == [2, 3]
