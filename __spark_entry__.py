@@ -98,7 +98,12 @@ def _events_pts(spark: SparkSession, sf_dir: str) -> GeoTable:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Documents table, spread across the cluster: the sf parquet is a
+    single split, which would serialize every per-doc text kernel behind
+    one task (measured 2x7.6 s single-threaded gram builds); a real corpus
+    arrives in thousands of splits and pays nothing here."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _poly_wkts() -> list[tuple[str, str]]:

@@ -285,6 +285,13 @@ def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     # exploded row (measured 30x slowdown); zipped, everything is evaluated
     # O(1) times per input row.
     zipped = F.arrays_zip(grams, F.array_repeat(F.size(grams), F.size(grams)))
+    # gram construction is the expensive part (~1.5 ms/doc of string ops);
+    # small inputs often arrive as one parquet split, which would serialize
+    # it — spread first (at scale the input already has many partitions and
+    # this is a no-op)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return df.select(F.col(id_col), F.explode(zipped).alias("zz")).select(
         F.col(id_col),
         F.col("zz.1").alias("n_grams"),
