@@ -446,8 +446,12 @@ _ANN_COPIES = 5
 
 
 def _emb_component(vec_id: int, d: int) -> float:
-    """Deterministic pseudo-random component, mirrored as a Spark expr."""
-    return ((vec_id * 1009 + d * 9176) % 1000) / 1000.0 - 0.5
+    """Deterministic pseudo-random component, mirrored as a Spark expr.
+
+    Lehmer-mixed: a plain linear-congruential form makes ids a fixed stride
+    apart near-constant-offset vectors (cosine ~1 across families), which
+    broke the embed_dedup oracle."""
+    return ((vec_id * 73856093 + d * 19349663 + 7) * 48271 % 2147483647) % 2000 / 1000.0 - 1.0
 
 
 def _synth_planted_embeddings(spark):
@@ -472,7 +476,10 @@ def _synth_planted_embeddings(spark):
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(_ANN_DIM - 1)),
         lambda d: F.col("scale")
-        * (((F.col("base_id") * 1009 + d * 9176) % 1000).cast("double") / 1000.0 - 0.5),
+        * (
+            ((F.col("base_id") * 73856093 + d * 19349663 + 7) * 48271
+             % 2147483647 % 2000).cast("double") / 1000.0 - 1.0
+        ),
     )
     return rows.select("vec_id", vec.cast("array<double>").alias("embedding"))
 
@@ -486,6 +493,34 @@ def _q_ann_lsh(spark, sf_dir):
         for i in range(_ANN_QUERIES)
     ]
     return lsh_cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN over the planted table. Power-of-two copies
+    normalize to the bit-identical unit vector, so they land in the query's
+    own (first-probed) cell with cosine exactly 1 — the analytic top-k is
+    the same as ann_lsh's regardless of centroid jitter."""
+    from geomesa_spark.operators.ann import ivf_cosine_topk
+
+    emb = _synth_planted_embeddings(_utc(spark))
+    qs = [
+        (f"q{i}", [_emb_component(i, d) for d in range(_ANN_DIM)])
+        for i in range(_ANN_QUERIES)
+    ]
+    return ivf_cosine_topk(emb, qs, k=5, n_cells=8, nprobe=2).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def _q_embed_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the planted table: every pair
+    within a {base, 5 scaled copies} family has cosine exactly 1; all
+    family members share every LSH band (identical hyperplane signs), so
+    the expected output is the full C(6,2) pair set per family."""
+    from geomesa_spark.operators.ann import embedding_near_pairs
+
+    emb = _synth_planted_embeddings(_utc(spark))
+    return embedding_near_pairs(emb, threshold=0.9999).select("id_a", "id_b")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -716,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "embed_dedup": _q_embed_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "replay": _q_replay,
         "map_agg_json": _q_map_agg_json,
@@ -881,6 +918,20 @@ def _frame_sample_oracle(n_rows: int = 1000, every_n: int = 30) -> str:
         SELECT media_id, frame_idx, substring(s, lo + 1, 8) AS frame_str
         FROM fr
     """
+
+
+def _embed_dedup_oracle() -> str:
+    """All within-family pairs (base + 5 scaled copies, cosine exactly 1)."""
+    rows = []
+    for q in range(_ANN_QUERIES):
+        ids = sorted([q] + [1000 + 10 * q + j for j in range(_ANN_COPIES)])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append(f"({ids[i]}, {ids[j]})")
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b "
+        "FROM (VALUES " + ", ".join(rows) + ") v(id_a, id_b)"
+    )
 
 
 def _ann_lsh_oracle() -> str:
@@ -1329,6 +1380,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.4
         """,
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_lsh_oracle(),  # same analytic expectation
+        "embed_dedup": _embed_dedup_oracle(),
         "lang_id": _lang_id_oracle(),
         "fingerprint": _fingerprint_oracle(),
         "media_features": _media_features_oracle(),

@@ -253,7 +253,7 @@ def _time_queries(spark) -> dict[str, float]:
         "knn", "knn_ring", "proximity", "tube", "spatial_join_poly",
         "density", "temporal_density", "tile_counts", "tile_rollup",
         "raster_query", "unique_hist", "bin_records", "dedup_exact",
-        "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh",
+        "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh", "ann_ivf", "embed_dedup",
         "text_quality", "lang_id", "fingerprint", "extract_text",
         "convert_delimited", "transform_project", "dms_parse",
         "geojson_roundtrip", "replay", "map_agg_json", "media_features",

@@ -9,6 +9,11 @@ search over ``array<float>`` embeddings.
 * :func:`lsh_cosine_topk` — the scale path: random-hyperplane signatures
   (seeded, deterministic), band-bucket candidate join, exact cosine on
   candidates only. Recall is tested against the brute-force baseline.
+* :func:`ivf_cosine_topk` — the other classic scale path: a coarse
+  quantizer (distributed spherical k-means, a few Lloyd rounds) partitions
+  vectors into cells; queries probe only the ``nprobe`` nearest centroids.
+* :func:`embedding_near_pairs` — embedding-cosine near-duplicate pairs:
+  hyperplane-band bucket self-join (never all-pairs) + exact cosine verify.
 """
 
 from __future__ import annotations
@@ -129,6 +134,218 @@ def lsh_cosine_topk(
 
     probe = emb.select(id_col, vec_col, F.explode(bucket_udf(F.col(vec_col))).alias("bucket"))
     cand = probe.join(F.broadcast(qdf), "bucket").dropDuplicates([id_col, "query_id"])
+
+    @F.pandas_udf("double")
+    def cos(vecs: pd.Series, qvecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        q = np.array(qvecs.tolist(), dtype=np.float64)
+        num = (m * q).sum(axis=1)
+        den = np.maximum(1e-12, np.linalg.norm(m, axis=1) * np.linalg.norm(q, axis=1))
+        return pd.Series(num / den)
+
+    scored = cand.withColumn("sim", cos(F.col(vec_col), F.col("q_vec")))
+    return _topk_window(scored, k, id_col).select("query_id", id_col, "sim", "rank")
+
+
+def _sig_bucket_udf(planes: np.ndarray, bands: int, rows_per_band: int):
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (m @ planes) > 0
+        vals = []
+        for row in bits:
+            out = []
+            for b in range(bands):
+                seg = row[b * rows_per_band : (b + 1) * rows_per_band]
+                out.append(int((seg.astype(np.int64) << np.arange(len(seg))).sum()) + (b << 32))
+            vals.append(np.array(out, dtype=np.int64))
+        return pd.Series(vals)
+
+    return buckets
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim), id_a < id_b.
+
+    The dedup-family member for embedding columns: hyperplane-LSH band
+    buckets generate candidates (only (id, bucket) rides the self-join —
+    vectors re-attach by id for the exact cosine verify), so the all-pairs
+    comparison never materializes. Like the MinHash path, buckets beyond
+    ``bucket_cap`` switch to star-shape linking (connected components are
+    preserved; the O(B^2) pair explosion is not).
+
+    Recall caveat (documented, tested): a pair is found only if it shares
+    at least one band — probability rises steeply with cosine, which is the
+    standard LSH near-dup contract.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    n_planes = min(n_planes, 63)
+    planes = rng.standard_normal((dim, n_planes))
+    rows_per_band = n_planes // bands
+
+    buckets = _sig_bucket_udf(planes, bands, rows_per_band)
+    exploded = emb.select(
+        F.col(id_col), F.explode(buckets(F.col(vec_col))).alias("bucket")
+    )
+    sizes = exploded.groupBy("bucket").agg(F.count("*").alias("__bn"))
+    keyed = exploded.join(sizes, "bucket")
+
+    small = keyed.filter((F.col("__bn") >= 2) & (F.col("__bn") <= bucket_cap)).drop("__bn")
+    l, r = small.alias("l"), small.alias("r")
+    cand_small = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+
+    big = keyed.filter(F.col("__bn") > bucket_cap).drop("__bn")
+    reps = big.groupBy("bucket").agg(F.min(id_col).alias("id_a"))
+    cand_big = big.join(reps, "bucket").filter(F.col(id_col) > F.col("id_a")).select(
+        "id_a", F.col(id_col).alias("id_b")
+    )
+
+    cand = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.maximum(1e-12, np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+        return pd.Series(num / den)
+
+    return (
+        paired.withColumn("sim", cos(F.col("__va"), F.col("__vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> np.ndarray:
+    """Distributed spherical k-means coarse quantizer (a few Lloyd rounds).
+
+    Each round is one ``mapInPandas`` pass emitting per-partition partial
+    (sum, count) per cell — the classic map-side-combine shape; only
+    n_cells x dim floats per partition reach the driver. Deterministic:
+    centroids init from a seeded RNG, ties break on cell index.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    cents /= np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
+
+    src = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+
+    for _ in range(iters):
+        c = cents  # bind for closure
+
+        def partials(batches, _c=c):
+            import pandas as _pd
+
+            sums = np.zeros_like(_c)
+            counts = np.zeros(len(_c), dtype=np.int64)
+            for pdf in batches:
+                m = np.array(pdf.iloc[:, 0].tolist(), dtype=np.float64)
+                mn = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+                assign = (mn @ _c.T).argmax(axis=1)
+                for cell in np.unique(assign):
+                    sel = assign == cell
+                    sums[cell] += m[sel].sum(axis=0)
+                    counts[cell] += int(sel.sum())
+            yield _pd.DataFrame({
+                "cell": np.arange(len(_c)),
+                "s": list(sums.astype(np.float64)),
+                "n": counts,
+            })
+
+        agg = (
+            src.mapInPandas(partials, f"cell int, s array<double>, n long")
+            .groupBy("cell")
+            .agg(
+                F.array(*[
+                    F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)
+                ]).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for row in agg:
+            if row["n"] > 0:
+                v = np.array(row["s"], dtype=np.float64) / row["n"]
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    new[row["cell"]] = v / nv
+        cents = new
+    return cents
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantizer cell assignment + probe-nearest-cells search.
+
+    Index side: every vector is assigned to its nearest (spherical) centroid
+    — one map pass, an equi-join key. Query side: each query probes its
+    ``nprobe`` nearest cells; candidates come from a broadcast equi-join on
+    the cell id and are verified with exact cosine. At 10^12 rows the scan
+    touches ~nprobe/n_cells of the table (cell assignment is a partition
+    key in a real deployment).
+    """
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        emb, n_cells, vec_col, iters=iters, seed=seed
+    )
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        mn = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+        return pd.Series((mn @ cents.T).argmax(axis=1).astype(np.int32))
+
+    assigned = emb.withColumn("__cell", assign(F.col(vec_col)))
+
+    spark = emb.sparkSession
+    qrows = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = q / max(1e-12, np.linalg.norm(q))
+        order = np.argsort(-(cents @ qn))
+        for cell in order[:nprobe]:
+            qrows.append((qid, int(cell), [float(v) for v in qvec]))
+    qdf = spark.createDataFrame(qrows, "query_id string, __cell int, q_vec array<double>")
+
+    cand = assigned.join(F.broadcast(qdf), "__cell").drop("__cell")
 
     @F.pandas_udf("double")
     def cos(vecs: pd.Series, qvecs: pd.Series) -> pd.Series:

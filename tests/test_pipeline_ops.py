@@ -351,3 +351,45 @@ def test_decode_real_codec_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_payload(b"abc", "image", fake=False)
+
+
+def test_ivf_recall_vs_brute(spark, emb):
+    from geomesa_spark.operators.ann import cosine_topk, ivf_cosine_topk
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist())
+    queries = [(f"q{i}", list(mat[i])) for i in range(4)]
+    brute = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_cosine_topk(emb, queries, k=10, n_cells=8, nprobe=3).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(a & b) / len(b) >= 0.9  # clustered data, nprobe=3 of 8 cells
+
+
+def test_embedding_near_pairs_planted(spark):
+    from geomesa_spark.operators.ann import embedding_near_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in v * 4.0]))  # exact-direction dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_pairs(emb, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, 1000 + i) for i in range(30)} <= got
+    # no wildly-dissimilar pair sneaks past the exact verify
+    for r in pairs.collect():
+        assert r["sim"] >= 0.999
+
+
+def test_embedding_near_pairs_hot_bucket_star(spark):
+    from geomesa_spark.operators.ann import embedding_near_pairs
+
+    v = [1.0] * 8
+    rows = [(i, v) for i in range(30)]  # 30 identical vectors, one bucket
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_pairs(emb, threshold=0.999, bucket_cap=5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, i) for i in range(1, 30)}
