@@ -381,6 +381,20 @@ def _q_tile_counts(spark, sf_dir):
     return tile_counts(t, level=6)
 
 
+def _q_surface(spark, sf_dir):
+    """Surface aggregation: per-cell max of an attribute
+    (SurfaceAggregatingIterator analog)."""
+    from geomesa_spark.functions.zexpr import tile_id_expr
+    from geomesa_spark.operators.aggregations import surface
+
+    t = _events_pts(_utc(spark), sf_dir)
+    cells = t.df.select(
+        tile_id_expr(F.col("lon"), F.col("lat"), 6).alias("cell"), "value"
+    )
+    return surface(GeoTable(cells, lon="lon", lat="lat", dtg=None, fid=None),
+                   "cell", "value")
+
+
 def _q_tile_rollup(spark, sf_dir):
     t = _events_pts(_utc(spark), sf_dir)
     return tile_rollup(tile_counts(t, level=6), from_level=6, to_level=4)
@@ -743,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds": _q_bounds,
         "tile_counts": _q_tile_counts,
         "tile_rollup": _q_tile_rollup,
+        "surface": _q_surface,
         "bin_records": _q_bin_records,
         "geoparse_docs": _q_geoparse_docs,
         "extract_text": _q_extract_text,
@@ -1197,6 +1212,13 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT {tile6} FROM pts)
             SELECT 4 * 4503599627370496 + (x >> 2) * 67108864 + (y >> 2) AS tile_id,
                    CAST(count(*) AS BIGINT) AS weight
+            FROM t GROUP BY 1
+        """,
+        "surface": f"""
+            WITH {_PTS_CTE},
+            t AS (SELECT {tile6}, value FROM pts)
+            SELECT 6 * 4503599627370496 + x * 67108864 + y AS cell,
+                   max(value) AS vmax
             FROM t GROUP BY 1
         """,
         "bin_records": f"""

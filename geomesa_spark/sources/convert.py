@@ -153,6 +153,24 @@ def kafka_geomessage_sink(df: DataFrame, brokers: str, topic: str):
     )
 
 
+def avro_ingest(spark, path: str) -> DataFrame:
+    """Avro container ingest via Spark's native reader
+    (``CNV/geomesa-convert-avro`` ingest path; field access via
+    :func:`avro_path`). Gated: the external spark-avro module is not
+    deployed in this sandbox — on a real cluster add
+    ``--packages org.apache.spark:spark-avro_2.13:<spark-version>``.
+    """
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: data source not found
+        if "avro" in str(e).lower():
+            raise NotImplementedError(
+                "spark-avro module not deployed in this environment; "
+                "submit with --packages org.apache.spark:spark-avro"
+            ) from e
+        raise
+
+
 def avro_path(col: Column, path: str) -> Column:
     """AvroPath expression -> nested Column access.
 

@@ -300,3 +300,67 @@ def test_query_auths_uses_expressions(spark):
     t = GeoTable(df=df, lon="lon", lat="lat", dtg=None, fid="id")
     got = sorted(r["id"] for r in query(t, "INCLUDE", auths={"a"}).collect())
     assert got == [2, 3]
+
+
+def test_knn_z2_pruned_matches_unpruned(spark, pts):
+    """knn over a z2-enriched table (prune path active) returns the same
+    rows as over the plain table, including an IDL-wrapping query."""
+    from geomesa_spark.operators.knn import knn_join
+    from geomesa_spark.sources.layout import as_geotable
+
+    queries = [("q0", 0.0, 0.0), ("q1", -179.9, 10.0)]
+    enriched = as_geotable(pts.df, lon="lon", lat="lat", dtg="dtg", fid="id")
+    a = {(r["query_id"], r["id"])
+         for r in knn_join(pts, queries, k=6).select("query_id", "id").collect()}
+    b = {(r["query_id"], r["id"])
+         for r in knn_join(enriched, queries, k=6).select("query_id", "id").collect()}
+    assert a == b and len(a) == 12
+
+
+# ---------------------------------------------------------------------------
+# cardinality stats, streaming converter, avro gate
+# ---------------------------------------------------------------------------
+
+
+def test_cardinality_hints(spark):
+    from geomesa_spark.plans.stats import cardinality_hints
+
+    rows = [(i, f"u{i}", f"k{i % 3}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, user string, kind string")
+    hints = cardinality_hints(df, ["user", "kind"], high_fraction=0.01, high_min=100)
+    assert hints == {"user": "high", "kind": "low"}
+
+
+def test_text_stream_converter(spark, tmp_path):
+    import os
+
+    from geomesa_spark.streaming.convert_stream import text_stream_converter
+
+    src = tmp_path / "drop"
+    os.makedirs(src)
+    (src / "a.txt").write_text("1|'x'|2.5\n2|'y'|3.5\n")
+    stream = text_stream_converter(
+        spark, str(src), "|", ["f0", "f1", "f2"],
+        ["id = toLong($1)", "tag = stripQuotes($2)", "v = toDouble($3)"],
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("conv_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM conv_stream").collect())
+    assert got == [(1, "x", 2.5), (2, "y", 3.5)]
+
+
+def test_avro_ingest_gate(spark, tmp_path):
+    from geomesa_spark.sources.convert import avro_ingest
+
+    try:
+        df = avro_ingest(spark, str(tmp_path / "nothing.avro"))
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)  # sandbox: module not deployed
+    except Exception:
+        pass  # module present but path missing -> reader error is fine
