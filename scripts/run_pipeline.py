@@ -89,9 +89,41 @@ def main() -> None:
         "out_rows": result.count(),
     })
 
+    # stages 4-5: the training-data text pipeline over the same pages —
+    # quality/lang scoring then two-level dedup (exact + MinHash near-dup),
+    # each checkpointed/resumable like the geo stages
+    from geomesa_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from geomesa_spark.operators.textstats import language_id, text_quality
+
+    docs = pages.select("doc_id", extract_text(F.col("html")).alias("text"))
+    quality = text_quality(docs, "text", "doc_id").join(
+        language_id(docs, "text", "doc_id"), "doc_id"
+    )
+    clean_ids = quality.filter(F.col("quality_score") >= 0.5).select("doc_id")
+    clean = docs.join(clean_ids, "doc_id")
+    clean = checkpoint_stage(clean, work, "docs_clean")
+
+    reps = exact_dedup(clean, "text", "doc_id").select("doc_id")
+    exact_unique = clean.join(reps, "doc_id")
+    near_drop = (
+        minhash_lsh_pairs(exact_unique, "text", "doc_id", threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    deduped = exact_unique.join(near_drop, "doc_id", "left_anti")
+    deduped = checkpoint_stage(deduped, work, "docs_dedup")
+
+    # NOTE: the synthetic page corpus is intentionally duplicate-heavy
+    # (~17 distinct texts per 20k pages), so the dedup stages collapse it
+    # almost entirely — which is exactly the load profile they exist for.
     print(json.dumps({
         "docs": args.docs,
         "result_rows": result.count(),
+        "docs_clean": deduped.sparkSession.read.parquet(
+            os.path.join(work, "docs_clean")
+        ).count(),
+        "docs_exact_unique": exact_unique.count(),
+        "docs_deduped": deduped.count(),
         "total_wall_s": round(time.perf_counter() - t_all, 2),
         "stages": sorted(
             f for f in os.listdir(work) if f.endswith(".metrics.json")
