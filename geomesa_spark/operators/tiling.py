@@ -18,6 +18,7 @@ on the XYZ tile pyramid:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -119,26 +120,36 @@ def raster_query(
     return pruned.filter(overlap)
 
 
-def mosaic(chunks: DataFrame, out_level: int) -> DataFrame:
-    """Composite chunk payloads per output tile (``mosaicChunks`` analog).
+def mosaic(chunks: DataFrame, out_level: int, canvas_bytes: int = 256) -> DataFrame:
+    """Composite chunk payloads per output tile (``mosaicChunks`` analog,
+    ``RAS/.../RasterUtils.mosaicChunks``: paint candidate chunks onto one
+    output canvas, best-resolution pixels win).
 
-    ``chunks``: (tile_id long, payload binary, weight double). Image
-    compositing itself is STUBBED (no imaging libraries in this
-    environment): the composite is a deterministic byte-reduce (xor-fold)
-    standing in for alpha blending. The distributed shape — groupBy tile,
-    bounded group size, applyInPandas — is the real deliverable.
+    ``chunks``: (tile_id long, payload binary, weight double). The pixel
+    DECODER is the environment-gated fake from
+    :mod:`geomesa_spark.operators.multimodal` (no imaging libs here); the
+    compositing math is real: every chunk decodes to a pixel array scaled
+    by its weight, and the canvas keeps the per-pixel maximum — the
+    order-independent compositing mode for density/elevation mosaics
+    (deterministic under any task ordering, unlike alpha painting).
+    Distributed shape: groupBy tile, bounded group size, one numpy pass per
+    group.
     """
+    from geomesa_spark.operators.multimodal import decode_payload
 
     def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        buf = bytearray(256)
-        for payload in pdf["payload"]:
+        canvas = np.zeros(canvas_bytes, dtype=np.float64)
+        for payload, weight in zip(pdf["payload"], pdf["weight"]):
             if payload is None:
                 continue
-            b = bytes(payload)
-            for i, v in enumerate(b[:256]):
-                buf[i % 256] ^= v
+            a = decode_payload(bytes(payload), "image").astype(np.float64)
+            reps = int(np.ceil(canvas_bytes / max(1, len(a))))
+            tile_px = np.tile(a, reps)[:canvas_bytes]
+            w = 1.0 if weight is None else float(weight)
+            np.maximum(canvas, tile_px * w, out=canvas)
+        out = np.clip(canvas, 0, 255).astype(np.uint8).tobytes()
         return pd.DataFrame(
-            {"tile_id": [key[0]], "n_chunks": [len(pdf)], "composite": [bytes(buf)]}
+            {"tile_id": [key[0]], "n_chunks": [len(pdf)], "composite": [out]}
         )
 
     return chunks.groupBy("tile_id").applyInPandas(

@@ -226,3 +226,35 @@ def test_gml_export_roundtrip(spark):
     assert '<gml:coordinates>10.5,-3.25</gml:coordinates>' in gml
     assert 'fid="7"' in gml and "<kind>click</kind>" in gml
     assert gml.startswith("<gml:featureMember><feature")
+
+
+def test_mosaic_per_pixel_max(spark):
+    """Mosaic compositing: per-pixel max of weight-scaled decoded chunks —
+    order-independent and mass-checked against a numpy reference."""
+    import numpy as np
+
+    from geomesa_spark.operators.multimodal import decode_payload
+    from geomesa_spark.operators.tiling import mosaic
+
+    rows = [
+        (1, b"\x10" * 300, 2.0),
+        (1, b"\x40" * 100, 1.0),
+        (2, b"\x05" * 50, 3.0),
+        (2, None, 9.0),
+    ]
+    chunks = spark.createDataFrame(rows, "tile_id long, payload binary, weight double")
+    got = {r["tile_id"]: (r["n_chunks"], bytes(r["composite"]))
+           for r in mosaic(chunks, out_level=4).collect()}
+
+    def expect(items):
+        canvas = np.zeros(256)
+        for payload, w in items:
+            if payload is None:
+                continue
+            a = decode_payload(payload, "image").astype(np.float64)
+            reps = int(np.ceil(256 / len(a)))
+            canvas = np.maximum(canvas, np.tile(a, reps)[:256] * w)
+        return np.clip(canvas, 0, 255).astype(np.uint8).tobytes()
+
+    assert got[1] == (2, expect([(b"\x10" * 300, 2.0), (b"\x40" * 100, 1.0)]))
+    assert got[2] == (2, expect([(b"\x05" * 50, 3.0)]))
