@@ -201,11 +201,14 @@ def knn_join(
     return _topk(points, cand, k).drop("q_lon", "q_lat", "knn_rank")
 
 
+_EARTH_AREA_M2 = 5.1e14
+
+
 def knn_ring_expansion(
     points: GeoTable,
     queries: list[tuple[str, float, float]],
     k: int,
-    r0_m: float = 1_000_000.0,
+    r0_m: float | None = None,
     max_radius_m: float = _EARTH_HALF_CIRCUMFERENCE_M,
 ) -> DataFrame:
     """Adaptive-radius KNN (the ``GeoHashSpiral`` ring-expansion analog).
@@ -215,7 +218,16 @@ def knn_ring_expansion(
     per round); any query with >= k in-radius hits is finalized. Radii
     double until satisfied or ``max_radius_m`` (the default exceeds half the
     earth's circumference, so the result is the exact global top-K).
+
+    ``r0_m=None`` estimates the starting radius from the table's row count
+    (parquet metadata count — cheap even at 10^12 rows) assuming uniform
+    density, sized so round one already expects ~4k candidates per query —
+    dense tables converge in one round instead of doubling up from a guess.
     """
+    if r0_m is None:
+        n = max(1, points.df.count())
+        fraction = min(0.5, 4.0 * k / n)
+        r0_m = max(1_000.0, math.sqrt(fraction * _EARTH_AREA_M2 / math.pi))
     pending = list(queries)
     radius = min(r0_m, max_radius_m)
     results: list[DataFrame] = []

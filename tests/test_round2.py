@@ -364,3 +364,76 @@ def test_avro_ingest_gate(spark, tmp_path):
         assert "spark-avro" in str(e)  # sandbox: module not deployed
     except Exception:
         pass  # module present but path missing -> reader error is fine
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regression: the physical plans we designed for must survive
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_spatial_join_plan_shape(spark, pts):
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    plan = _plan(spatial_join(pts, [("b", "POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))"),
+                                    ("t", "POLYGON((0 0, 8 0, 4 6, 0 0))")]))
+    assert "BroadcastHashJoin" in plan        # cover join is a hash join...
+    assert "BroadcastNestedLoopJoin" not in plan  # ...never a nested loop
+    assert "SortMergeJoin" not in plan        # and never shuffles the probe side
+
+
+def test_layout_query_plan_pushdown(spark, pts, tmp_path):
+    """z3 prune must reach the scan: week as PartitionFilters, z3 ranges as
+    PushedFilters (row-group skipping), not post-scan-only filters."""
+    from geomesa_spark.sources.layout import read_layout, write_layout
+
+    path = str(tmp_path / "lay")
+    write_layout(pts.df, path, lon="lon", lat="lat", dtg="dtg", fid="id")
+    t = read_layout(spark, path, lon="lon", lat="lat", dtg="dtg", fid="id")
+    cql = ("BBOX(geom, -10, -10, 10, 10) AND "
+           "dtg DURING 2020-03-01T00:00:00Z/2020-03-03T00:00:00Z")
+    plan = _formatted(compile_query(t, cql).df)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "week" in pf.group(1)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "z3" in pushed.group(1)
+
+
+def test_attr_index_plan_pushdown(spark, pts, tmp_path):
+    from geomesa_spark.sources.layout import read_layout, write_layout
+
+    path = str(tmp_path / "lay2")
+    write_layout(pts.df, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                 attr_indexes=["kind"])
+    t = read_layout(spark, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                    attr_indexes=["kind"], cardinality={"kind": "high"})
+    plan = _formatted(compile_query(t, "kind = 'type1'").df)
+    import re
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "kind" in pushed.group(1)
+
+
+def test_knn_estimated_r0_matches_fixed(spark, pts):
+    from geomesa_spark.operators.knn import knn_ring_expansion
+
+    queries = [("q0", 0.0, 0.0), ("q1", 15.0, -15.0)]
+    a = {(r["query_id"], r["id"]) for r in
+         knn_ring_expansion(pts, queries, k=5).select("query_id", "id").collect()}
+    b = {(r["query_id"], r["id"]) for r in
+         knn_ring_expansion(pts, queries, k=5, r0_m=50_000.0)
+         .select("query_id", "id").collect()}
+    assert a == b and len(a) == 10
