@@ -196,10 +196,10 @@ def _layout_events(spark, sf_dir):
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t = _events_pts(spark, sf_dir)
         write_layout(t.df, path, lon="lon", lat="lat", dtg="ts", fid="event_id",
-                     attr_indexes=["event_type"])
+                     attr_indexes=["event_type"], st_copy=True)
     return read_layout(spark, path, lon="lon", lat="lat", dtg="ts", fid="event_id",
                        attr_indexes=["event_type"],
-                       cardinality={"event_type": "high"})
+                       cardinality={"event_type": "high"}, st_copy=True)
 
 
 def _q_bbox_time_indexed(spark, sf_dir):
@@ -209,6 +209,13 @@ def _q_bbox_time_indexed(spark, sf_dir):
     cql = ("BBOX(geom, -120, -60, 60, 70) AND "
            "ts DURING 2024-01-05T00:00:00Z/2024-01-20T00:00:00Z")
     return query(t, cql).select("event_id")
+
+
+def _q_bbox_indexed(spark, sf_dir):
+    """Time-unbounded BBOX through the layout's z2-sorted ST copy
+    (z2-st strategy: the spatial-only sort makes the z2 ranges skip)."""
+    t = _layout_events(_utc(spark), sf_dir)
+    return query(t, "BBOX(geom, -50, -20, 30, 45)").select("event_id")
 
 
 def _q_attr_filter_indexed(spark, sf_dir):
@@ -743,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin": _q_dwithin,
         "attr_filter": _q_attr_filter,
         "attr_filter_indexed": _q_attr_filter_indexed,
+        "bbox_indexed": _q_bbox_indexed,
         "record_lookup": _q_record_lookup,
         "or_union": _q_or_union,
         "knn": _q_knn,
@@ -1093,6 +1101,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "attr_filter_indexed": """
             SELECT event_id FROM events WHERE event_type = 'click' AND value >= 50.0
+        """,
+        "bbox_indexed": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id FROM pts
+            WHERE lon BETWEEN -50 AND 30 AND lat BETWEEN -20 AND 45
         """,
         "record_lookup": """
             SELECT event_id, event_type, user_id FROM events

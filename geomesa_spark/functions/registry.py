@@ -120,6 +120,33 @@ def _reduce_bool(cs, is_and: bool):
     return out
 
 
+# --- lists / strings (Transformers list+string extras) -----------------------
+register("toList")(lambda c, sep: F.split(_c(c), sep))
+register("listItem")(lambda c, i: _c(c).getItem(i))
+register("listLen")(lambda c: F.size(_c(c)))
+register("mkstring")(lambda c, sep: F.array_join(_c(c), sep))
+register("emptyToNull")(lambda c: F.when(F.trim(_c(c)) == "", F.lit(None)).otherwise(_c(c)))
+register("withDefault")(lambda c, d: F.coalesce(_c(c), _c(d)))
+register("printf")(lambda fmt, *cs: F.format_string(fmt, *[_c(c) for c in cs]))
+
+
+def _geohash_fn(lon, lat, chars):
+    """GeoHash string of a point at the given character precision
+    (Transformers.scala geohash function; vectorized numpy kernel)."""
+    import pandas as pd
+
+    from geomesa_spark.cells.geohash import geohash_encode
+
+    def gh(lons, lats):
+        out = geohash_encode(lons.to_numpy(), lats.to_numpy(), chars)
+        return pd.Series(out)
+
+    gh_udf = F.pandas_udf(gh, "string")
+    return gh_udf(_c(lon).cast("double"), _c(lat).cast("double"))
+
+
+register("geohash")(_geohash_fn)
+
 # --- misc --------------------------------------------------------------------
 register("lineNo")(lambda: F.monotonically_increasing_id())
 

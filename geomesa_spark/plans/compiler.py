@@ -60,6 +60,10 @@ class GeoTable:
     # name -> DataFrame of the same rows range-partitioned + sorted by that
     # column, so attribute predicates skip row groups instead of full-scanning
     attr_tables: dict[str, DataFrame] = field(default_factory=dict)
+    # z2-sorted secondary copy (the reference's ST table): time-unbounded
+    # spatial queries scan this instead of the z3-sorted main table, whose
+    # interleaved time bits scramble spatial locality within row groups
+    st_table: DataFrame | None = None
     # per-attribute cardinality hints ('high' | 'low') for strategy costing
     # (UTL/stats/Cardinality.scala, AttributeIdxStrategy.scala:170-183)
     cardinality: dict[str, str] = field(default_factory=dict)
@@ -499,6 +503,11 @@ def compile_query(table: GeoTable, pred: P.Pred | str) -> CompiledQuery:
     elif z2_ok:
         stats.strategy = "z2"
         prune = _z2_prune(table, bbox, stats)
+        if table.st_table is not None:
+            # route to the z2-SORTED copy so the ranges actually skip row
+            # groups (STIndexTable analog of the 4-table fanout)
+            stats.strategy = "z2-st"
+            source_df = table.st_table
     elif interval and table.week_col:
         # whole-world or non-spatial + bounded time: still the z3 layout,
         # pruned on its week partition column only (z-ranges would be the

@@ -80,6 +80,7 @@ def write_layout(
     n_shards: int = 16,
     target_partitions: int | None = None,
     attr_indexes: list[str] | None = None,
+    st_copy: bool = False,
 ) -> None:
     """Write the engine's physical layout to parquet.
 
@@ -112,6 +113,14 @@ def write_layout(
         sec = enriched.repartitionByRange(parts, F.col(col), F.col(zsec))
         sec = sec.sortWithinPartitions(col, zsec)
         sec.write.mode("overwrite").parquet(f"{path}/_attr/{col}")
+    if st_copy and dtg is not None:
+        # ST (z2-sorted) copy: the main table's z3 sort interleaves time
+        # bits, scrambling spatial locality — time-unbounded bbox queries
+        # need files sorted by the spatial-only key to skip row groups
+        # (the 4-table fanout's ST table, AccumuloFeatureWriter.scala)
+        st = enriched.repartitionByRange(parts, F.col("z2"))
+        st = st.sortWithinPartitions("z2")
+        st.write.mode("overwrite").parquet(f"{path}/_st")
 
 
 def read_layout(
@@ -123,15 +132,18 @@ def read_layout(
     fid: str | None = "id",
     attr_indexes: list[str] | None = None,
     cardinality: dict[str, str] | None = None,
+    st_copy: bool = False,
 ) -> GeoTable:
     """Open a written layout. ``attr_indexes`` lists the secondary copies to
     attach (written by :func:`write_layout`); ``cardinality`` passes the
-    per-attribute cost hints through to the planner."""
+    per-attribute cost hints through to the planner; ``st_copy`` attaches
+    the z2-sorted ST copy for time-unbounded spatial queries."""
     df = spark.read.parquet(path)
     cols = set(df.columns)
     attr_tables = {
         col: spark.read.parquet(f"{path}/_attr/{col}") for col in attr_indexes or []
     }
+    st_table = spark.read.parquet(f"{path}/_st") if st_copy else None
     return GeoTable(
         df=df,
         lon=lon,
@@ -143,6 +155,7 @@ def read_layout(
         z2_col="z2" if "z2" in cols else None,
         attr_tables=attr_tables,
         cardinality=cardinality or {},
+        st_table=st_table,
     )
 
 

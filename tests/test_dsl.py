@@ -102,3 +102,34 @@ def test_parse_errors():
     with pytest.raises(KeyError, match="no converter function"):
         cols = {"a": F.lit(1)}
         parse_expr("nosuchfn(a)")(cols)
+
+
+def test_list_string_and_geohash_functions(spark):
+    from geomesa_spark.functions.dsl import parse_spec
+    from geomesa_spark.sources.convert import apply_converter
+
+    df = spark.createDataFrame(
+        [("a,b,c", None, -0.1, 51.5)], "csv string, missing string, lon double, lat double"
+    )
+    spec = parse_spec([
+        "second = listItem(toList($csv, ','), 1)",
+        "n = listLen(toList($csv, ','))",
+        "joined = mkstring(toList($csv, ','), '-')",
+        "dflt = withDefault($missing, 'fallback')",
+        "lbl = printf('%s/%s', $csv, 'x')",
+        "gh = geohash($lon, $lat, 7)",
+    ])
+    row = apply_converter(df, spec).first()
+    assert row["second"] == "b" and row["n"] == 3 and row["joined"] == "a-b-c"
+    assert row["dflt"] == "fallback" and row["lbl"] == "a,b,c/x"
+    # London (51.5N, 0.1W): verified against an independent textbook
+    # implementation of the public geohash algorithm
+    assert row["gh"] == "gcpuvxr"
+
+
+def test_empty_to_null(spark):
+    from geomesa_spark.functions.registry import resolve_function
+
+    df = spark.createDataFrame([("  ",), ("x",)], "s string")
+    out = df.select(resolve_function("emptyToNull")(F.col("s")).alias("v")).collect()
+    assert [r["v"] for r in out] == [None, "x"]

@@ -437,3 +437,25 @@ def test_knn_estimated_r0_matches_fixed(spark, pts):
          knn_ring_expansion(pts, queries, k=5, r0_m=50_000.0)
          .select("query_id", "id").collect()}
     assert a == b and len(a) == 10
+
+
+def test_st_copy_z2_strategy_and_pushdown(spark, pts, tmp_path):
+    from geomesa_spark.sources.layout import read_layout, write_layout
+
+    path = str(tmp_path / "lay_st")
+    write_layout(pts.df, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                 st_copy=True)
+    t = read_layout(spark, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                    st_copy=True)
+    cq = compile_query(t, "BBOX(geom, -10, -10, 10, 10)")
+    assert cq.stats.strategy == "z2-st"
+    import re
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", _formatted(cq.df))
+    assert pushed and "z2" in pushed.group(1)
+    got = sorted(r["id"] for r in cq.df.select("id").collect())
+    want = sorted(
+        r["id"] for r in pts.df.filter(
+            F.col("lon").between(-10, 10) & F.col("lat").between(-10, 10)
+        ).collect()
+    )
+    assert got == want
