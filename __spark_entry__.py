@@ -181,6 +181,20 @@ def _q_bbox_time(spark, sf_dir):
 _LAYOUT_CACHE = "/tmp/geomesa_layout"
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Cache key component from the source parquet's size+mtime: if the
+    driver regenerates the testdata between rounds, stale layouts must not
+    answer for it."""
+    import os
+
+    p = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(p)
+        return f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        return "nosrc"
+
+
 def _layout_events(spark, sf_dir):
     """Materialized z3 layout of the events points (written once per sf_dir,
     reused across runs): week-partitioned, z3-sorted, with an attribute
@@ -191,7 +205,7 @@ def _layout_events(spark, sf_dir):
 
     from geomesa_spark.sources.layout import read_layout, write_layout
 
-    name = sf_dir.strip("/").replace("/", "_")
+    name = f"{sf_dir.strip('/').replace('/', '_')}_{_source_fingerprint(sf_dir, 'events')}"
     path = f"{_LAYOUT_CACHE}/{name}_events"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t = _events_pts(spark, sf_dir)
@@ -267,7 +281,7 @@ def _q_bbox_geoms(spark, sf_dir):
     )
 
     _utc(spark)
-    name = sf_dir.strip("/").replace("/", "_")
+    name = f"{sf_dir.strip('/').replace('/', '_')}_{_source_fingerprint(sf_dir, 'events')}"
     path = f"{_LAYOUT_CACHE}/{name}_geoms"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_geom_layout(_geom_rows(spark, sf_dir), path, wkt_col="wkt")
