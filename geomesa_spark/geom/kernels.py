@@ -280,6 +280,73 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
 
 
+def vincenty_m(lon1, lat1, lon2, lat2, iterations: int = 20) -> np.ndarray:
+    """Geodesic distance on the WGS84 ellipsoid (vectorized Vincenty inverse).
+
+    The reference's geodetic calculator path (GeoTools ``GeodeticCalculator``
+    / ``org.locationtech.spatial4j`` distances) rather than the spherical
+    haversine: agrees with published geodesic distances to ~mm for
+    non-antipodal pairs. Vectorized numpy fixed-iteration (the classic
+    lambda iteration converges in < 10 rounds for non-antipodal points;
+    non-converged antipodal-ish pairs fall back to haversine).
+    """
+    a, f = 6378137.0, 1.0 / 298.257223563
+    b = (1.0 - f) * a
+    lon1 = np.radians(np.asarray(lon1, np.float64))
+    lat1 = np.radians(np.asarray(lat1, np.float64))
+    lon2 = np.radians(np.asarray(lon2, np.float64))
+    lat2 = np.radians(np.asarray(lat2, np.float64))
+    U1 = np.arctan((1 - f) * np.tan(lat1))
+    U2 = np.arctan((1 - f) * np.tan(lat2))
+    L = lon2 - lon1
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    converged = np.zeros(lam.shape, dtype=bool)
+    sin_sigma = np.zeros_like(lam)
+    cos_sigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos_sq_alpha = np.ones_like(lam)
+    cos2sm = np.zeros_like(lam)
+    for _ in range(iterations):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        sin_sigma = np.sqrt(
+            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+        )
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sigma != 0, cosU1 * cosU2 * sin_lam / np.where(sin_sigma == 0, 1.0, sin_sigma), 0.0)
+            cos_sq_alpha = 1.0 - sin_alpha**2
+            cos2sm = np.where(
+                cos_sq_alpha != 0,
+                cos_sigma - 2.0 * sinU1 * sinU2 / np.where(cos_sq_alpha == 0, 1.0, cos_sq_alpha),
+                0.0,
+            )
+        C = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1.0 + 2.0 * cos2sm**2))
+        )
+        converged |= np.abs(lam_new - lam) < 1e-12
+        lam = lam_new
+    u_sq = cos_sq_alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    dsigma = B * sin_sigma * (
+        cos2sm + B / 4.0 * (
+            cos_sigma * (-1.0 + 2.0 * cos2sm**2)
+            - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_sigma**2) * (-3.0 + 4.0 * cos2sm**2)
+        )
+    )
+    dist = b * A * (sigma - dsigma)
+    # identical points -> 0; non-converged (near-antipodal) -> haversine
+    same = (lon1 == lon2) & (lat1 == lat2)
+    fallback = haversine_m(
+        np.degrees(lon1), np.degrees(lat1), np.degrees(lon2), np.degrees(lat2)
+    )
+    return np.where(same, 0.0, np.where(converged, dist, fallback))
+
+
 def euclid_deg(lon1, lat1, lon2, lat2) -> np.ndarray:
     """Planar degree distance (the reference's rewritten-DWithin metric)."""
     dx = np.asarray(lon1, np.float64) - np.asarray(lon2, np.float64)

@@ -53,6 +53,30 @@ def _euclid_deg_cols(lon1, lat1, lon2, lat2):
     return F.sqrt(F.pow(lon1 - lon2, 2) + F.pow(lat1 - lat2, 2))
 
 
+def _vincenty_cols(lon1, lat1, lon2, lat2):
+    """WGS84 geodesic distance (Arrow-batched numpy Vincenty kernel) — the
+    reference's GeodeticCalculator precision when the spherical haversine's
+    ~0.3% error matters. Slower than the codegen haversine (one Arrow
+    round-trip); the conservative cell covers remain supersets either way.
+    """
+    import pandas as pd
+
+    from geomesa_spark.geom.kernels import vincenty_m
+
+    def v(a, b, c, d):
+        return pd.Series(vincenty_m(a.to_numpy(), b.to_numpy(),
+                                    c.to_numpy(), d.to_numpy()))
+
+    return F.pandas_udf(v, "double")(lon1, lat1, lon2, lat2)
+
+
+_DIST_FNS = {
+    "haversine": _haversine_cols,
+    "euclid": _euclid_deg_cols,
+    "vincenty": _vincenty_cols,
+}
+
+
 def _level_for_radius(radius_m: float, max_level: int = 11) -> int:
     """Tile level whose cell height ~ the radius (cover stays a few cells)."""
     deg = max(1e-9, radius_m / 111_320.0)
@@ -153,7 +177,7 @@ def _cell_join_candidates(
         pts = pts.filter(prune)
     pts = pts.withColumn("__tile", tile_id_expr(F.col(points.lon), F.col(points.lat), level))
     cand = pts.join(F.broadcast(q), pts["__tile"] == q["tile"], "inner").drop("__tile", "tile")
-    dist_fn = _haversine_cols if metric == "haversine" else _euclid_deg_cols
+    dist_fn = _DIST_FNS[metric]
     return cand.withColumn(
         "dist",
         dist_fn(F.col(points.lon), F.col(points.lat), F.col("q_lon"), F.col("q_lat")),
@@ -191,12 +215,14 @@ def knn_join(
             "dist", F.lit(0.0)
         ).drop("q_lon", "q_lat")
     if max_radius_m is None:
-        if metric != "haversine":
+        if metric == "euclid":
             max_radius_m = 360.0 * 111_320.0  # degrees metric: cover everything
-        else:
+        elif metric == "haversine":
             return knn_ring_expansion(points, queries, k)
+        else:  # vincenty: one exact pass bounded by the whole earth
+            max_radius_m = _EARTH_HALF_CIRCUMFERENCE_M * 1.01
     cand = _cell_join_candidates(points, queries, max_radius_m, metric)
-    bound = max_radius_m if metric == "haversine" else max_radius_m / 111_320.0
+    bound = max_radius_m / 111_320.0 if metric == "euclid" else max_radius_m
     cand = cand.filter(F.col("dist") <= bound)
     return _topk(points, cand, k).drop("q_lon", "q_lat", "knn_rank")
 

@@ -459,3 +459,75 @@ def test_st_copy_z2_strategy_and_pushdown(spark, pts, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_knn_vincenty_metric(spark, pts):
+    """Vincenty-metric kNN matches a brute-force ranking with the same
+    geodesic kernel (and the kernel matches the canonical test pair)."""
+    import numpy as np
+
+    from geomesa_spark.geom.kernels import vincenty_m
+    from geomesa_spark.operators.knn import knn_join
+
+    d = vincenty_m(np.array([144.42486788888888]), np.array([-37.95103341666667]),
+                   np.array([143.92649552777777]), np.array([-37.65282113888889]))
+    assert abs(d[0] - 54972.271) < 0.01  # Flinders Peak -> Buninyong
+
+    queries = [("q0", 3.3, -4.4)]
+    got = [r["id"] for r in
+           knn_join(pts, queries, k=6, metric="vincenty",
+                    max_radius_m=3_000_000.0).orderBy("knn_rank" if False else "dist")
+           .select("id", "dist").collect()]
+    rows = pts.df.select("id", "lon", "lat").collect()
+    lons = np.array([r["lon"] for r in rows]); lats = np.array([r["lat"] for r in rows])
+    dist = vincenty_m(lons, lats, np.full(len(rows), 3.3), np.full(len(rows), -4.4))
+    order = sorted(range(len(rows)), key=lambda i: (dist[i], rows[i]["id"]))
+    want = [rows[i]["id"] for i in order[:6]]
+    assert got == want
+
+
+def test_streaming_tile_density_watermark(spark, tmp_path):
+    """Windowed density over a file stream: counts land in the right
+    event-time windows and match the equivalent batch aggregation."""
+    import json
+    import os
+
+    from geomesa_spark.streaming.windowed import streaming_tile_density
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    rows = []
+    for i in range(60):
+        rows.append({"lon": -20.0 + i, "lat": 5.0,
+                     "ts": f"2024-01-01T00:{i % 30:02d}:00.000Z"})
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("lon double, lat double, ts timestamp")
+        .json(str(src))
+    )
+    out = streaming_tile_density(stream, window_duration="10 minutes",
+                                 watermark="1 hour", level=4)
+    q = (
+        out.writeStream.format("memory").queryName("win_density")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window_start"].minute, r["tile_id"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_density").collect()
+    }
+    # batch twin
+    batch = spark.read.schema("lon double, lat double, ts timestamp").json(str(src))
+    from geomesa_spark.functions.zexpr import tile_id_expr
+    from pyspark.sql import functions as FF
+    want = {
+        (r["m"], r["tile_id"]): r["n"]
+        for r in batch.groupBy(
+            FF.window("ts", "10 minutes").alias("w"),
+            tile_id_expr(FF.col("lon"), FF.col("lat"), 4).alias("tile_id"),
+        ).agg(FF.count("*").alias("n"))
+        .select(FF.minute("w.start").alias("m"), "tile_id", "n").collect()
+    }
+    assert got == want and len(got) > 3
