@@ -154,6 +154,72 @@ def query_geom_bbox(
     return easy.unionByName(hard).dropDuplicates([fid])
 
 
+def geom_spatial_join(
+    layout: DataFrame,
+    polys: list[tuple[str, str]],
+    fid: str,
+    wkt_col: str = "wkt",
+    level: int = DEFAULT_LEVEL,
+) -> DataFrame:
+    """Spatial join of GEOMETRY rows against a polygon set (the non-point
+    counterpart of ``operators.spatial_join``): each polygon enumerates the
+    layout-level cells its shape intersects (geometry-shaped cover — a
+    concave polygon does not admit its bbox), the broadcast
+    (poly_id, cell) table equi-joins the layout's cell column, a codegen
+    bbox-overlap filter cuts candidates, the exact geometry-vs-polygon
+    kernel verifies, and (row, poly) pairs dedupe (a geometry can meet a
+    polygon through several cells).
+    """
+    from geomesa_spark.geom.kernels import geometry_intersects_box
+
+    spark = layout.sparkSession
+    rows = []
+    for pid, wkt in polys:
+        g = parse_wkt(wkt)
+        b = g.bbox()
+        for lo, hi in _cell_ranges(b, level):
+            for cell in range(lo, hi + 1):
+                x = (cell - level * (1 << 52)) >> 26
+                y = cell & ((1 << 26) - 1)
+                n = 1 << level
+                cb = (
+                    -180.0 + 360.0 * x / n,
+                    90.0 - 180.0 * (y + 1) / n,
+                    -180.0 + 360.0 * (x + 1) / n,
+                    90.0 - 180.0 * y / n,
+                )
+                if geometry_intersects_box(g, cb):
+                    rows.append((pid, int(cell), b[0], b[1], b[2], b[3], wkt))
+    cover = spark.createDataFrame(
+        rows,
+        "poly_id string, cell long, px0 double, py0 double, "
+        "px1 double, py1 double, p_wkt string",
+    )
+    cand = layout.join(F.broadcast(cover), "cell")
+    coarse = (
+        (F.col("gx0") <= F.col("px1")) & (F.col("gx1") >= F.col("px0"))
+        & (F.col("gy0") <= F.col("py1")) & (F.col("gy1") >= F.col("py0"))
+    )
+
+    @F.pandas_udf("boolean")
+    def exact(wkts: pd.Series, pwkts: pd.Series) -> pd.Series:
+        out = np.zeros(len(wkts), dtype=bool)
+        for pw, idx in pwkts.groupby(pwkts).groups.items():
+            p = parse_wkt(pw)
+            pos = pwkts.index.get_indexer(idx)
+            out[pos] = [
+                geometry_intersects_polygon(parse_wkt(wkts.iloc[i]), p) for i in pos
+            ]
+        return pd.Series(out)
+
+    return (
+        cand.filter(coarse)
+        .filter(exact(F.col(wkt_col), F.col("p_wkt")))
+        .dropDuplicates([fid, "poly_id"])
+        .drop("px0", "py0", "px1", "py1", "p_wkt")
+    )
+
+
 def query_geom_intersects(
     layout: DataFrame,
     poly_wkt: str,

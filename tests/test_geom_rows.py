@@ -189,3 +189,26 @@ def test_disjoint_complements_intersects(pt_table):
     outside = {r["id"] for r in compile_query(pt_table, f"DISJOINT(geom, {tri})").df.collect()}
     assert inside.isdisjoint(outside)
     assert len(inside) + len(outside) == 400
+
+
+def test_geom_spatial_join_matches_brute_force(geom_layout):
+    from geomesa_spark.sources.geom_layout import geom_spatial_join
+
+    rows, lay = geom_layout
+    polys = [
+        ("tri", "POLYGON ((-5 -5, 20 -5, 8 14, -5 -5))"),
+        ("box", "POLYGON ((-25 -15, -10 -15, -10 0, -25 0, -25 -15))"),
+        # concave L: the geometry-shaped cover must not admit the notch
+        ("L", "POLYGON ((10 -15, 28 -15, 28 -8, 18 -8, 18 5, 10 5, 10 -15))"),
+    ]
+    got = {
+        (r["id"], r["poly_id"])
+        for r in geom_spatial_join(lay, polys, fid="id").select("id", "poly_id").collect()
+    }
+    want = set()
+    for pid, pw in polys:
+        p = parse_wkt(pw)
+        for i, w in rows:
+            if geometry_intersects_polygon(parse_wkt(w), p):
+                want.add((i, pid))
+    assert got == want and len(want) > 20
