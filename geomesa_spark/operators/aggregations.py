@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geomesa_spark.functions.zexpr import epoch_seconds
-from geomesa_spark.plans.compiler import GeoTable, _ts_lit
+from geomesa_spark.plans.compiler import GeoTable
 
 
 def density(

@@ -26,8 +26,6 @@ dedup pass is needed (the reference's geohash-duplicate dedupe,
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
