@@ -154,3 +154,72 @@ def test_zexpr_matches_numpy(spark):
     exp2 = Z2.encode(lons, lats)
     assert [int(r["z3"]) for r in got] == [int(v) for v in exp3]
     assert [int(r["z2"]) for r in got] == [int(v) for v in exp2]
+
+
+# ---------------------------------------------------------------------------
+# parser / planner edge cases (FilterHelper + QueryFilterSplitter parity)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_not_and_parens(z3_fixture):
+    t = z3_fixture
+    inside = {r["id"] for r in compile_query(t, "BBOX(geom, -10, -10, 10, 10)").df.collect()}
+    neg = {r["id"] for r in compile_query(t, "NOT (BBOX(geom, -10, -10, 10, 10))").df.collect()}
+    allr = {r["id"] for r in t.df.collect()}
+    assert inside | neg == allr and inside.isdisjoint(neg)
+    # double negation is identity
+    dbl = {r["id"] for r in compile_query(
+        t, "NOT (NOT (BBOX(geom, -10, -10, 10, 10)))").df.collect()}
+    assert dbl == inside
+
+
+def test_or_precedence_binds_and_tighter(z3_fixture):
+    t = z3_fixture
+    # A OR B AND C == A OR (B AND C)
+    a = {r["id"] for r in compile_query(
+        t, "name = 'name3' OR name = 'name5' AND BBOX(geom, 35, 55, 45, 66)"
+    ).df.collect()}
+    b = {r["id"] for r in compile_query(
+        t, "name = 'name3' OR (name = 'name5' AND BBOX(geom, 35, 55, 45, 66))"
+    ).df.collect()}
+    assert a == b == {"3", "5"}
+
+
+def test_is_null_and_is_not_null(spark):
+    from geomesa_spark.plans.compiler import GeoTable
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, "x"), (2, 1.0, 1.0, None)], "id int, lon double, lat double, tag string"
+    )
+    t = GeoTable(df=df, lon="lon", lat="lat", dtg=None, fid="id")
+    assert [r["id"] for r in compile_query(t, "tag IS NOT NULL").df.collect()] == [1]
+    assert [r["id"] for r in compile_query(t, "tag IS NULL").df.collect()] == [2]
+
+
+def test_in_with_strings_and_like(z3_fixture):
+    t = z3_fixture
+    got = {r["id"] for r in compile_query(t, "name IN ('name0', 'name22')").df.collect()}
+    assert got == {"0", "22"}
+    liked = {r["id"] for r in compile_query(t, "name LIKE 'name1%'").df.collect()}
+    assert liked == {"1"} | {str(i) for i in range(10, 20)}
+
+
+def test_bbox_intersection_of_spatial_constraints(z3_fixture):
+    """Two ANDed spatial predicates intersect into one prune box and the
+    conjunction of residuals (QueryFilterSplitter AND-merge)."""
+    t = z3_fixture
+    cq = compile_query(
+        t, "BBOX(geom, -10, -10, 10, 10) AND BBOX(geom, 0, 0, 20, 20)")
+    got = {r["id"] for r in cq.df.collect()}
+    want = {
+        r["id"] for r in t.df.collect()
+        if 0 <= r["lon"] <= 10 and 0 <= r["lat"] <= 10
+    }
+    assert got == want
+
+
+def test_unsatisfiable_intersection_returns_empty(z3_fixture):
+    t = z3_fixture
+    cq = compile_query(
+        t, "BBOX(geom, -10, -10, -5, -5) AND BBOX(geom, 5, 5, 10, 10)")
+    assert cq.df.count() == 0
