@@ -193,3 +193,38 @@ def test_density_geometries_mass_conserved(spark):
     # the horizontal line crosses cells (0..9, 0): each gets an equal share
     line_cells = [cells.get((i, 0), 0.0) for i in range(10)]
     assert all(v > 0 for v in line_cells)
+
+
+def test_render_density_png(spark, pts):
+    """WMS-style heatmap rendering: a real PNG (verified by independent
+    decode: signature, IHDR fields, zlib-inflated scanline geometry, and
+    hot-cell pixels colored / empty cells transparent)."""
+    import struct
+    import zlib
+
+    from geomesa_spark.operators.aggregations import density
+    from geomesa_spark.operators.render import render_density_png
+
+    grid = density(pts, (-20.0, -20.0, 20.0, 20.0), 16, 16)
+    png = render_density_png(grid, 16, 16)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # parse chunks independently
+    pos, chunks = 8, {}
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos:pos + 4])
+        tag = png[pos + 4:pos + 8]
+        payload = png[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", png[pos + 8 + ln:pos + 12 + ln])
+        assert crc == (zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        chunks[tag] = payload
+        pos += 12 + ln
+    w, h, depth, ctype = struct.unpack(">IIBB", chunks[b"IHDR"][:10])
+    assert (w, h, depth, ctype) == (16, 16, 8, 6)
+    raw = zlib.decompress(chunks[b"IDAT"])
+    assert len(raw) == 16 * (1 + 16 * 4)
+    # at least one opaque heat pixel and the grid's empty cells transparent
+    rows = [raw[y * 65 + 1:(y + 1) * 65] for y in range(16)]
+    alphas = [rows[y][x * 4 + 3] for y in range(16) for x in range(16)]
+    assert max(alphas) == 255
+    n_cells = grid.count()
+    assert sum(1 for a in alphas if a > 0) == n_cells
