@@ -115,23 +115,17 @@ def dms_to_decimal(c: Column) -> Column:
     ))
 
 
-def shapefile_ingest(spark, path: str):  # pragma: no cover - gated on geopandas
+def shapefile_ingest(spark, path: str) -> DataFrame:
     """Shapefile -> DataFrame (``UTL/geotools/GeneralShapefileIngest.scala``).
 
-    Gated: geopandas/fiona are not in this container. When present, the
-    driver-side read + ``createDataFrame`` is the whole implementation
-    (shapefiles are small reference layers, never the 100 TB side).
+    Backed by the engine's native pure-``struct`` reader
+    (:mod:`geomesa_spark.sources.shapefile`; Point/PolyLine/Polygon + .dbf
+    attributes) — shapefiles are small reference layers, parsed driver-side
+    and handed to Spark as a (attributes..., wkt) frame.
     """
-    try:
-        import geopandas  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "shapefile ingest needs geopandas (not available in this "
-            "environment); convert the layer to parquet/WKT instead"
-        ) from e
-    gdf = geopandas.read_file(path)
-    pdf = gdf.assign(wkt=gdf.geometry.to_wkt()).drop(columns="geometry")
-    return spark.createDataFrame(pdf)
+    from geomesa_spark.sources.shapefile import read_shapefile
+
+    return read_shapefile(spark, path)
 
 
 def kafka_geomessage_sink(df: DataFrame, brokers: str, topic: str):

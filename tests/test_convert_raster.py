@@ -168,13 +168,16 @@ def test_timestamp_filters(spark):
     assert {x["id"] for x in s.collect()} == {1, 5}
 
 
-def test_shapefile_gated():
-    import pytest as _pytest
-
+def test_shapefile_ingest_native(spark, tmp_path):
+    """shapefile_ingest now rides the native reader (no geopandas gate)."""
     from geomesa_spark.sources.convert import shapefile_ingest
+    from geomesa_spark.sources.shapefile import write_shapefile_points
 
-    with _pytest.raises(NotImplementedError):
-        shapefile_ingest(None, "/nonexistent.shp")
+    df = spark.createDataFrame([(3.0, 4.0, "a")], "lon double, lat double, tag string")
+    base = str(tmp_path / "one")
+    write_shapefile_points(df, base + ".shp", attrs=["tag"])
+    back = shapefile_ingest(spark, base + ".shp")
+    assert back.collect()[0]["wkt"] == "POINT (3.0 4.0)"
 
 
 def test_kafka_sink_builder(spark):
@@ -258,3 +261,74 @@ def test_mosaic_per_pixel_max(spark):
 
     assert got[1] == (2, expect([(b"\x10" * 300, 2.0), (b"\x40" * 100, 1.0)]))
     assert got[2] == (2, expect([(b"\x05" * 50, 3.0)]))
+
+
+def test_shapefile_point_roundtrip(spark, tmp_path):
+    """Write points with the native writer, read them back with the native
+    reader — and cross-check the .shp bytes against the public spec."""
+    import struct
+
+    from geomesa_spark.sources.shapefile import read_shapefile, write_shapefile_points
+
+    df = spark.createDataFrame(
+        [(1.5, -2.25, "alpha"), (10.0, 20.0, "beta"), (-170.5, 45.0, "gamma")],
+        "lon double, lat double, name string",
+    )
+    base = str(tmp_path / "pts")
+    write_shapefile_points(df, base + ".shp", attrs=["name"])
+
+    raw = open(base + ".shp", "rb").read()
+    assert struct.unpack(">i", raw[:4])[0] == 9994          # file code
+    assert struct.unpack("<i", raw[32:36])[0] == 1          # point type
+    xmin, ymin, xmax, ymax = struct.unpack("<4d", raw[36:68])
+    assert (xmin, ymin, xmax, ymax) == (-170.5, -2.25, 10.0, 45.0)
+
+    back = read_shapefile(spark, base + ".shp")
+    got = sorted((r["NAME"], r["wkt"]) for r in back.collect())
+    assert got == [
+        ("alpha", "POINT (1.5 -2.25)"),
+        ("beta", "POINT (10.0 20.0)"),
+        ("gamma", "POINT (-170.5 45.0)"),
+    ]
+
+
+def test_shapefile_polygon_and_line_read(spark, tmp_path):
+    """Hand-build .shp bytes per the public spec for polygon + polyline
+    records; the reader must produce the right WKT."""
+    import struct
+
+    def rec(num, body):
+        return struct.pack(">ii", num, len(body) // 2) + body
+
+    # polygon: one ring, 4 points (closed square)
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    poly = struct.pack("<i4d", 5, 0.0, 0.0, 4.0, 4.0)
+    poly += struct.pack("<2i", 1, len(ring)) + struct.pack("<i", 0)
+    for x, y in ring:
+        poly += struct.pack("<2d", x, y)
+    # polyline: one part, 3 points
+    line_pts = [(0.0, 1.0), (2.0, 1.0), (2.0, 3.0)]
+    line = struct.pack("<i4d", 3, 0.0, 1.0, 2.0, 3.0)
+    line += struct.pack("<2i", 1, 3) + struct.pack("<i", 0)
+    for x, y in line_pts:
+        line += struct.pack("<2d", x, y)
+    records = rec(1, poly) + rec(2, line)
+    header = (
+        struct.pack(">i", 9994) + b"\x00" * 20
+        + struct.pack(">i", (100 + len(records)) // 2)
+        + struct.pack("<ii", 1000, 5)
+        + struct.pack("<8d", 0, 0, 4, 4, 0, 0, 0, 0)
+    )
+    path = str(tmp_path / "mixed.shp")
+    open(path, "wb").write(header + records)
+
+    from geomesa_spark.sources.shapefile import read_shapefile
+
+    wkts = [r["wkt"] for r in read_shapefile(spark, path).collect()]
+    assert wkts[0] == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 0.0))"
+    assert wkts[1] == "LINESTRING (0.0 1.0, 2.0 1.0, 2.0 3.0)"
+    # and the WKT parses through the engine's geometry model
+    from geomesa_spark.geom.wkt import parse_wkt
+
+    assert parse_wkt(wkts[0]).kind == "POLYGON"
+    assert parse_wkt(wkts[1]).kind == "LINESTRING"
