@@ -247,12 +247,12 @@ def _time_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     names = [
-        "bbox", "bbox_time", "bbox_time_indexed", "bbox_idl", "intersects",
+        "bbox", "bbox_time", "bbox_time_indexed", "bbox_indexed", "bbox_idl", "intersects",
         "within", "disjoint", "contains_pt", "dwithin", "attr_filter",
         "attr_filter_indexed", "bbox_geoms",
         "knn", "knn_ring", "proximity", "tube", "spatial_join_poly",
         "density", "temporal_density", "tile_counts", "tile_rollup",
-        "raster_query", "unique_hist", "bin_records", "dedup_exact",
+        "raster_query", "surface", "unique_hist", "bin_records", "dedup_exact",
         "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh", "ann_ivf", "embed_dedup",
         "text_quality", "lang_id", "fingerprint", "extract_text",
         "convert_delimited", "transform_project", "dms_parse",
