@@ -542,7 +542,7 @@ def _q_ann_ivf(spark, sf_dir):
         (f"q{i}", [_emb_component(i, d) for d in range(_ANN_DIM)])
         for i in range(_ANN_QUERIES)
     ]
-    return ivf_cosine_topk(emb, qs, k=5, n_cells=8, nprobe=2).select(
+    return ivf_cosine_topk(emb, qs, k=5, n_cells=8, nprobe=2, iters=2).select(
         "query_id", "vec_id", "rank"
     )
 
