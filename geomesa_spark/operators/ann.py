@@ -187,7 +187,10 @@ def embedding_near_pairs(
     at least one band — probability rises steeply with cosine, which is the
     standard LSH near-dup contract.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("embedding_near_pairs: input table is empty")
+    dim = len(first[0])
     rng = np.random.RandomState(seed)
     n_planes = min(n_planes, 63)
     planes = rng.standard_normal((dim, n_planes))
@@ -248,8 +251,15 @@ def train_ivf_centroids(
     (sum, count) per cell — the classic map-side-combine shape; only
     n_cells x dim floats per partition reach the driver. Deterministic:
     centroids init from a seeded RNG, ties break on cell index.
+
+    Spherical k-means accumulates the NORMALIZED vectors (assignment is by
+    cosine, so a high-magnitude vector must not dominate the mean direction
+    of its cell).
     """
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("train_ivf_centroids: input table is empty")
+    dim = len(first[0])
     rng = np.random.RandomState(seed)
     cents = rng.standard_normal((n_cells, dim))
     cents /= np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
@@ -272,7 +282,7 @@ def train_ivf_centroids(
                 assign = (mn @ _c.T).argmax(axis=1)
                 for cell in np.unique(assign):
                     sel = assign == cell
-                    sums[cell] += m[sel].sum(axis=0)
+                    sums[cell] += mn[sel].sum(axis=0)
                     counts[cell] += int(sel.sum())
             yield _pd.DataFrame({
                 "cell": np.arange(len(_c)),
@@ -302,6 +312,27 @@ def train_ivf_centroids(
     return cents
 
 
+def assign_ivf_cells(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """Attach the IVF cell id (nearest spherical centroid) as a column.
+
+    This is the layout step: persist the result partitioned/sorted by
+    ``cell_col`` once, and every subsequent IVF query scans only its probed
+    cells (partition pruning) instead of re-assigning the corpus.
+    """
+    cents = centroids
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        mn = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+        return pd.Series((mn @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return emb.withColumn(cell_col, assign(F.col(vec_col)))
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     queries: list[tuple[str, list[float]]],
@@ -313,27 +344,34 @@ def ivf_cosine_topk(
     iters: int = 3,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    sample_fraction: float = 1.0,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantizer cell assignment + probe-nearest-cells search.
 
     Index side: every vector is assigned to its nearest (spherical) centroid
     — one map pass, an equi-join key. Query side: each query probes its
     ``nprobe`` nearest cells; candidates come from a broadcast equi-join on
-    the cell id and are verified with exact cosine. At 10^12 rows the scan
-    touches ~nprobe/n_cells of the table (cell assignment is a partition
-    key in a real deployment).
+    the cell id and are verified with exact cosine.
+
+    Scale contract (the 100 TB shape): training is a one-time, SAMPLED cost
+    (``sample_fraction`` — k-means quality needs only ~100s of points per
+    cell, not the corpus), and the assignment is a persisted layout column —
+    pass precomputed ``centroids`` plus ``cell_col`` naming an existing cell
+    column (see :func:`assign_ivf_cells`) and the query plan is just a
+    broadcast equi-join on the cell id over a cell-pruned scan, touching
+    ~nprobe/n_cells of the table. The train-per-call default exists only
+    for small/ad-hoc inputs.
     """
     cents = centroids if centroids is not None else train_ivf_centroids(
-        emb, n_cells, vec_col, iters=iters, seed=seed
+        emb, n_cells, vec_col, iters=iters, seed=seed,
+        sample_fraction=sample_fraction,
     )
 
-    @F.pandas_udf("int")
-    def assign(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        mn = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
-        return pd.Series((mn @ cents.T).argmax(axis=1).astype(np.int32))
-
-    assigned = emb.withColumn("__cell", assign(F.col(vec_col)))
+    if cell_col is not None:
+        assigned = emb.withColumnRenamed(cell_col, "__cell")
+    else:
+        assigned = assign_ivf_cells(emb, cents, vec_col)
 
     spark = emb.sparkSession
     qrows = []

@@ -192,11 +192,21 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, seed: int = 42
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    bucket_cap: int = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 63 bits into 4 chunks (pigeonhole:
     any pair within hamming distance 3 shares at least one exact chunk),
-    bucket-join, verify hamming distance exactly."""
+    bucket-join, verify hamming distance exactly.
+
+    Skew guard (same shape as :func:`minhash_lsh_pairs`): the 16-bit chunk
+    values give only ~65k buckets per chunk, so at corpus scale the average
+    bucket is huge and the self-join is O(B^2). Buckets larger than
+    ``bucket_cap`` switch to star-shape linking — each member pairs with the
+    bucket's minimum id only (O(B) rows); for dedup connected-components the
+    star preserves the same components and only skips redundant transitive
+    pairs. The exact hamming verify still runs on every emitted pair.
+    """
     sigs = simhash_signatures(df, text_col, id_col)
     chunks = F.array(*[
         F.struct(
@@ -208,22 +218,34 @@ def simhash_near_pairs(
     exploded = sigs.withColumn("c", F.explode(chunks)).select(
         F.col(id_col), "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
     )
-    l, r = exploded.alias("l"), exploded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    sizes = exploded.groupBy("chunk", "val").agg(F.count("*").alias("__bn"))
+    keyed = exploded.join(sizes, ["chunk", "val"])
+
+    small = keyed.filter((F.col("__bn") >= 2) & (F.col("__bn") <= bucket_cap)).drop("__bn")
+    l, r = small.alias("l"), small.alias("r")
+    cand_small = l.join(
+        r,
+        (F.col("l.chunk") == F.col("r.chunk"))
+        & (F.col("l.val") == F.col("r.val"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col("l.simhash").alias("sh_a"),
+        F.col("r.simhash").alias("sh_b"),
     )
+
+    big = keyed.filter(F.col("__bn") > bucket_cap).drop("__bn")
+    reps = big.groupBy("chunk", "val").agg(
+        F.min(id_col).alias("id_a"), F.min_by("simhash", F.col(id_col)).alias("sh_a")
+    )
+    cand_big = big.join(reps, ["chunk", "val"]).filter(
+        F.col(id_col) > F.col("id_a")
+    ).select(
+        "id_a", F.col(id_col).alias("id_b"), "sh_a", F.col("simhash").alias("sh_b")
+    )
+
+    cand = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)
@@ -300,7 +322,8 @@ def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
 
 
 def ngram_jaccard_exact(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
+    max_gram_df: int = 10_000,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard for every pair sharing >= 1 gram.
 
@@ -311,8 +334,26 @@ def ngram_jaccard_exact(
     (:func:`ngram_jaccard_pairs`), never the full corpus — but the kernel
     itself is all-built-in and oracle-checkable, which is why it exists as
     a standalone operator.
+
+    Hot-gram guard: a gram shared by B docs (stopword shingles — "one of
+    the" appears in a large constant fraction of a web corpus) emits B^2
+    rows from the equi-join. Grams whose document frequency exceeds
+    ``max_gram_df`` are dropped BEFORE the join. Error bound: the Jaccard
+    denominator (na + nb - inter) keeps the exact per-doc set sizes, only
+    the intersection count can miss dropped grams, so J is underestimated
+    by at most (dropped grams shared by the pair) / union — and a gram in
+    >max_gram_df docs carries essentially zero discrimination between a
+    near-duplicate pair and an unrelated pair. Pairs whose ONLY shared
+    grams are dropped are not emitted (they are not near-duplicates at any
+    useful threshold). Pass ``max_gram_df=None`` for the unbounded exact
+    kernel (candidate-verify use, where the input is already small).
     """
     g = _gram_table(df, text_col, id_col, n)
+    if max_gram_df is not None:
+        # one extra (gram)->count shuffle; drops the O(B^2) blowup. na/nb
+        # stay exact: they were folded into the array before the explode.
+        gram_df = g.groupBy("gram").agg(F.count("*").alias("__df"))
+        g = g.join(gram_df.filter(F.col("__df") <= max_gram_df), "gram").drop("__df")
     a = g.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
     b = g.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
     pairs = (

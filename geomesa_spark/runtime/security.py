@@ -98,16 +98,57 @@ def evaluate_visibility(expr: str | None, auths: set[str]) -> bool:
     return ev(node)
 
 
-def visibility_filter(df: DataFrame, vis_col: str, auths: set[str]) -> DataFrame:
+def _visible_or_false(expr: str, auths: set[str]) -> bool:
+    """Accumulo semantics: an unparseable marking is NOT VISIBLE, never an
+    error — one malformed label anywhere in a 10^12-row table must not
+    abort the scan (VisibilityEvaluator treats bad/unauthorized as
+    filtered-out)."""
+    try:
+        return evaluate_visibility(expr, auths)
+    except ValueError:
+        return False
+
+
+def visibility_filter(
+    df: DataFrame, vis_col: str, auths: set[str], max_vocabulary: int = 100_000
+) -> DataFrame:
     """Filter rows whose visibility expression the auth set satisfies.
 
     One small distinct-aggregation job resolves the marking vocabulary;
-    the row filter itself is a codegen ``isin``.
+    the row filter itself is a codegen ``isin``. Malformed expressions are
+    classified not-visible (Accumulo behavior), not raised.
+
+    The distinct collection is capped at ``max_vocabulary``: markings are a
+    small bounded vocabulary in practice, but if the column turns out to be
+    high-cardinality the driver must not OOM — beyond the cap the operator
+    falls back to evaluating per distinct value within the rows' own
+    partitions via a join against the lazily-evaluated distinct table
+    (still one evaluation per distinct marking, no per-row Python).
     """
-    distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
-    visible = [
-        v for v in distinct
-        if v not in (None, "") and evaluate_visibility(v, auths)
-    ]
     c: Column = F.col(vis_col)
-    return df.filter(c.isNull() | (c == "") | c.isin(visible))
+    distinct = [
+        r[0]
+        for r in df.select(vis_col).distinct().limit(max_vocabulary + 1).collect()
+    ]
+    if len(distinct) <= max_vocabulary:
+        visible = [
+            v for v in distinct
+            if v not in (None, "") and _visible_or_false(v, auths)
+        ]
+        return df.filter(c.isNull() | (c == "") | c.isin(visible))
+    # high-cardinality fallback: evaluate each distinct marking exactly once
+    # in an Arrow-batched UDF over the (distinct) marking table, then
+    # semi-join rows to the visible set — the big table never runs Python.
+    # no annotations on the kernel: module-level `from __future__ import
+    # annotations` stringifies hints and pandas is not a module-level import
+    def _eval_batch(exprs):
+        return exprs.map(
+            lambda v: True if v in (None, "") else _visible_or_false(v, auths)
+        )
+
+    vis_udf = F.pandas_udf(_eval_batch, "boolean")
+
+    vocab = df.select(c.alias("__vis")).distinct().filter(vis_udf(F.col("__vis")))
+    # no broadcast hint: this branch only runs when the vocabulary exceeded
+    # the cap, so the visible set may itself be too large to broadcast
+    return df.join(vocab, c.eqNullSafe(F.col("__vis")), "left_semi")

@@ -121,6 +121,15 @@ def write_layout(
         st = enriched.repartitionByRange(parts, F.col("z2"))
         st = st.sortWithinPartitions("z2")
         st.write.mode("overwrite").parquet(f"{path}/_st")
+    # whole-layout completion marker, written only after EVERY sub-table:
+    # the main table's _SUCCESS lands before the _attr/_st copies, so a
+    # crash in between would leave a cache that passes a main-only check
+    # but that read_layout(..., st_copy/attr_indexes) cannot open. Readers
+    # gate on this marker (on an object store this is a marker object).
+    import os
+
+    with open(os.path.join(path, "_LAYOUT_SUCCESS"), "w") as fh:
+        fh.write("ok\n")
 
 
 def read_layout(

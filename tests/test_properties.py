@@ -12,8 +12,10 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
-lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False,
+                 allow_subnormal=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False,
+                 allow_subnormal=False)
 
 
 @st.composite
@@ -77,21 +79,29 @@ def test_tile_bbox_contains_its_point(lon, lat):
         assert by0 - eps <= lat <= by1 + eps
 
 
+seg_xs = st.floats(-200, 200, allow_subnormal=False)
+seg_ys = st.floats(-100, 100, allow_subnormal=False)
+
+
 @settings(max_examples=150, deadline=None)
-@given(box=boxes(),
-       x0=st.floats(-200, 200), y0=st.floats(-100, 100),
-       x1=st.floats(-200, 200), y1=st.floats(-100, 100))
+@given(box=boxes(), x0=seg_xs, y0=seg_ys, x1=seg_xs, y1=seg_ys)
 def test_segment_box_consistent_with_sampling(box, x0, y0, x1, y1):
-    """If any sampled point of the segment is in the box, the clip test
-    must say True (one-sided check — the clip is exact, sampling is not)."""
+    """If any sampled point of the segment is CLEARLY in the box, the clip
+    test must say True (one-sided check — the clip is exact, sampling is
+    not). Sampled points within a margin of the box boundary are dropped:
+    the sampling arithmetic x0+(x1-x0)*t rounds, so a truly-outside point
+    can land exactly on the boundary (denormal/ulp artifacts), which would
+    invert the one-sided invariant."""
     from geomesa_spark.geom.kernels import _segment_intersects_box
 
     t = np.linspace(0.0, 1.0, 33)
     xs = x0 + (x1 - x0) * t
     ys = y0 + (y1 - y0) * t
     bx0, by0, bx1, by1 = box
+    eps = 1e-9
     sampled_in = bool(
-        ((xs >= bx0) & (xs <= bx1) & (ys >= by0) & (ys <= by1)).any()
+        ((xs >= bx0 + eps) & (xs <= bx1 - eps)
+         & (ys >= by0 + eps) & (ys <= by1 - eps)).any()
     )
     if sampled_in:
         assert _segment_intersects_box(x0, y0, x1, y1, box)

@@ -1,0 +1,298 @@
+"""Round-3 regression tests: skew guards on the dedup family, vincenty kNN
+ring routing, visibility robustness, randomized (non-planted) recall floors
+for the LSH families.
+
+The planted analytic oracles in __spark_entry__.py are exact but by
+construction insensitive to approximation quality; the randomized corpora
+here (seeded, deterministic) are the quality gate that fails if bands/
+rounds/caps are trimmed too far.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# dedup skew guards
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_hot_bucket_star(spark):
+    """A degenerate bucket of B identical docs must emit O(B) star pairs,
+    not O(B^2) — same guard as the MinHash/embedding paths."""
+    from geomesa_spark.operators.dedup import simhash_near_pairs
+
+    rows = [(i, "same words repeated here for everyone") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=3, bucket_cap=5)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    # star shape: every member links to the bucket's minimum id only
+    assert set(got) == {(0, i) for i in range(1, 30)}
+    assert all(h == 0 for h in got.values())
+
+
+def test_simhash_small_buckets_unaffected_by_cap(spark, ):
+    """Below the cap the banding is exhaustive (pigeonhole): the capped
+    operator returns exactly the numpy all-pairs hamming<=3 set."""
+    from geomesa_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{v}" for v in rng.randint(0, 50_000, size=600)]
+    rows = []
+    for i in range(40):
+        toks = [vocab[(i * 13 + j) % len(vocab)] for j in range(50)]
+        rows.append((i, " ".join(toks)))
+        near = list(toks)
+        near[7] = "MUT"  # one-token change -> small hamming, usually <= 3
+        rows.append((100 + i, " ".join(near)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash_signatures(docs, "text", "doc_id").collect()}
+    ids = sorted(sigs)
+    want = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
+    assert got == want
+    assert len(want) >= 10  # the fixture actually plants close pairs
+
+
+def test_ngram_hot_gram_cap_bounds_join(spark):
+    """One stopword shingle shared by all B docs must not emit B^2 rows:
+    with the DF cap the hot gram is dropped before the self-join."""
+    from geomesa_spark.operators.dedup import ngram_jaccard_exact
+
+    rows = []
+    for i in range(20):
+        # every doc starts with the same 3 tokens (one hot gram, df=20),
+        # then a unique tail -> no discriminating overlap
+        rows.append((i, "the quick brown " + " ".join(f"u{i}_{j}" for j in range(10))))
+    # plus one genuinely-near pair sharing a full unique tail
+    rows.append((100, "aa bb cc dd ee ff gg hh"))
+    rows.append((101, "aa bb cc dd ee ff gg zz"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_exact(docs, "text", "doc_id", n=3,
+                                 threshold=0.01, max_gram_df=5).collect()
+    # the hot-gram-only pairs vanish; the genuine pair survives via its
+    # unique shared grams
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)
+
+    uncapped = ngram_jaccard_exact(docs, "text", "doc_id", n=3,
+                                   threshold=0.01, max_gram_df=None).collect()
+    # without the cap the hot gram links all C(20,2) low-jaccard pairs
+    assert len(uncapped) >= 190
+
+
+def test_ngram_cap_keeps_denominator_exact(spark):
+    """na/nb come from the pre-filter gram table: dropping a hot gram
+    lowers the intersection only, so J is a documented underestimate."""
+    from geomesa_spark.operators.dedup import ngram_jaccard_exact
+
+    rows = [(i, "the quick brown fox " + f"tail{i}") for i in range(10)]
+    rows.append((50, "x1 x2 x3 x4 x5"))
+    rows.append((51, "x1 x2 x3 x4 x5"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_exact(docs, "text", "doc_id", n=3,
+                               threshold=0.5, max_gram_df=5).collect()}
+    # identical docs share only non-hot grams -> exact J = 1.0 preserved
+    assert got.get((50, 51)) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# randomized recall floors (non-planted; fail if bands/rounds are trimmed)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_randomized_recall_floor(spark):
+    """Seeded random corpus with ~5% token mutation (true 3-shingle Jaccard
+    ~0.7): banded LSH must recover >= 90% of the planted near pairs."""
+    from geomesa_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for b in range(40):
+        toks = [f"t{v}" for v in rng.randint(0, 1_000_000, size=60)]
+        near = list(toks)
+        for pos in (5, 25, 45):  # 3 of 60 tokens mutated
+            near[pos] = f"m{rng.randint(0, 1_000_000)}"
+        rows.append((2 * b, " ".join(toks)))
+        rows.append((2 * b + 1, " ".join(near)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    planted = {(2 * b, 2 * b + 1) for b in range(40)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9
+    # and no cross-group pair of independent random docs sneaks through
+    assert not (pairs - planted)
+
+
+# ---------------------------------------------------------------------------
+# visibility robustness
+# ---------------------------------------------------------------------------
+
+
+def test_visibility_malformed_label_filtered_not_raised(spark):
+    """Accumulo semantics: a malformed marking anywhere in the table makes
+    THOSE rows invisible; it must not abort the query."""
+    from geomesa_spark.runtime.security import visibility_filter
+
+    df = spark.createDataFrame(
+        [(1, "ops"), (2, "a&&b("), (3, "admin&ops"), (4, None), (5, "")],
+        "id int, vis string",
+    )
+    got = sorted(r["id"] for r in visibility_filter(df, "vis", {"ops"}).collect())
+    assert got == [1, 4, 5]
+
+
+def test_visibility_high_cardinality_fallback(spark):
+    """Beyond the vocabulary cap the operator must still answer (arrow-UDF
+    over the distinct table + semi-join), with identical semantics."""
+    from geomesa_spark.runtime.security import visibility_filter
+
+    rows = [(i, "ops" if i % 3 == 0 else f"team{i}") for i in range(60)]
+    rows.append((1000, None))
+    df = spark.createDataFrame(rows, "id int, vis string")
+    got = sorted(
+        r["id"]
+        for r in visibility_filter(df, "vis", {"ops"}, max_vocabulary=10).collect()
+    )
+    want = sorted([i for i in range(60) if i % 3 == 0] + [1000])
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# vincenty kNN without a radius bound: ring expansion, not whole-earth pass
+# ---------------------------------------------------------------------------
+
+
+def test_knn_vincenty_no_radius_ring_routes_and_matches_brute(spark):
+    from datetime import datetime, timezone
+
+    from geomesa_spark.geom.kernels import vincenty_m
+    from geomesa_spark.operators.knn import knn_join
+    from geomesa_spark.plans.compiler import GeoTable
+
+    rows = []
+    for i in range(400):
+        lon = -20.0 + (i * 7919 % 4000) / 100.0
+        lat = -20.0 + (i * 104729 % 4000) / 100.0
+        rows.append((str(i), lon, lat,
+                     datetime(2020, 3, 1 + i % 4, i % 24, tzinfo=timezone.utc)))
+    df = spark.createDataFrame(rows, "id string, lon double, lat double, dtg timestamp")
+    pts = GeoTable(df=df, lon="lon", lat="lat", dtg="dtg", fid="id")
+
+    queries = [("q0", 3.3, -4.4), ("q1", -19.5, 19.5)]
+    got = knn_join(pts, queries, k=6, metric="vincenty", max_radius_m=None)
+    res = got.select("query_id", "id", "dist").collect()
+
+    lons = np.array([r[1] for r in rows]); lats = np.array([r[2] for r in rows])
+    for qid, qlon, qlat in queries:
+        dist = vincenty_m(lons, lats, np.full(len(rows), qlon),
+                          np.full(len(rows), qlat))
+        order = sorted(range(len(rows)), key=lambda i: (dist[i], rows[i][0]))
+        want = [rows[i][0] for i in order[:6]]
+        mine = [r["id"] for r in sorted(
+            (r for r in res if r["query_id"] == qid), key=lambda r: r["dist"])]
+        assert mine == want
+
+
+# ---------------------------------------------------------------------------
+# IVF: sampled training + persisted cell column
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_sampled_training_recall(spark):
+    """Training on a 30% sample must not sink recall on clustered data —
+    the scale contract says training never needs the corpus."""
+    from geomesa_spark.operators.ann import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mat = np.array([r[1] for r in rows])
+    queries = [(f"q{i}", list(mat[i])) for i in range(4)]
+    brute = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_cosine_topk(emb, queries, k=10, n_cells=8, nprobe=3,
+                             sample_fraction=0.3).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(a & b) / len(b) >= 0.9
+
+
+def test_ivf_precomputed_cell_column(spark):
+    """The layout path: assign cells once (assign_ivf_cells), query with
+    cell_col= so no re-assignment pass runs — results identical."""
+    from geomesa_spark.operators.ann import (
+        assign_ivf_cells,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mat = np.array([r[1] for r in rows])
+    queries = [(f"q{i}", list(mat[i])) for i in range(3)]
+
+    cents = train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.5)
+    assigned = assign_ivf_cells(emb, cents)
+    via_layout = ivf_cosine_topk(
+        assigned, queries, k=5, n_cells=8, nprobe=3,
+        centroids=cents, cell_col="__cell",
+    ).collect()
+    direct = ivf_cosine_topk(
+        emb, queries, k=5, n_cells=8, nprobe=3, centroids=cents
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in via_layout]) == \
+        sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in direct])
+
+
+# ---------------------------------------------------------------------------
+# layout completion marker
+# ---------------------------------------------------------------------------
+
+
+def test_layout_success_marker_written_last(spark, tmp_path):
+    """_LAYOUT_SUCCESS exists only after main + _attr + _st all landed —
+    the cache-validity gate for crash-mid-fanout."""
+    import os
+    from datetime import datetime, timezone
+
+    from geomesa_spark.sources.layout import write_layout
+
+    rows = [(str(i), float(i % 30), float(i % 20),
+             datetime(2020, 3, 1, i % 24, tzinfo=timezone.utc), f"k{i % 3}")
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "id string, lon double, lat double, dtg timestamp, kind string")
+    path = str(tmp_path / "lay")
+    write_layout(df, path, lon="lon", lat="lat", dtg="dtg", fid="id",
+                 attr_indexes=["kind"], st_copy=True)
+    assert os.path.exists(os.path.join(path, "_LAYOUT_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "_attr/kind/_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "_st/_SUCCESS"))
