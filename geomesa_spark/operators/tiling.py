@@ -155,3 +155,107 @@ def mosaic(chunks: DataFrame, out_level: int, canvas_bytes: int = 256) -> DataFr
     return chunks.groupBy("tile_id").applyInPandas(
         composite, "tile_id long, n_chunks long, composite binary"
     )
+
+
+def mosaic_geo(
+    chunks: DataFrame,
+    query_env: tuple[float, float, float, float],
+    query_width: int,
+    query_height: int,
+) -> DataFrame:
+    """GEO-POSITIONED mosaic: place each chunk's pixel block into the output
+    canvas at its bbox offset (``RAS/util/RasterUtils.scala:112-160``
+    ``mosaicChunks``/``writeToMosaic``), then nearest-neighbor scale to the
+    requested output size.
+
+    Mirrored semantics:
+
+    * the working canvas is allocated at the CHUNKS' native resolution over
+      the query envelope (``mosaicX = round(envWidth / chunkXRes)``), taken
+      from the first chunk like the reference;
+    * each chunk is cropped to the query envelope and written with
+      ``setRect`` at ``originX = floor((chunkMinX - envMinX) / resX)``,
+      ``originY = floor((envMaxY - chunkMaxY) / resY)`` — top-down y axis;
+    * overlapping chunks: last write wins, in ascending ``tile_id`` order
+      (the reference iterates in Accumulo key-scan order, which is the
+      tile-key order; Spark groups are unordered so the kernel sorts);
+    * the finished native-resolution canvas is scaled to
+      (query_width, query_height) with nearest-neighbor.
+
+    ``chunks``: (tile_id long, c_lon_min/.../c_lat_max double,
+    c_width int, c_height int, payload binary). The pixel DECODER is the
+    declared environment-gated fake (payload bytes tiled to c_width x
+    c_height); everything spatial — crop windows, canvas offsets, overlap
+    order, scaling — is real and tested against exact canvas bytes.
+
+    One query = one canvas, so this job has a single group; a tile server
+    parallelizes across many such requests, each pre-pruned by
+    :func:`raster_query`. Returns one row
+    (n_chunks, mosaic_width, mosaic_height, mosaic binary).
+    """
+    from geomesa_spark.operators.multimodal import decode_payload
+
+    ex0, ey0, ex1, ey1 = (float(v) for v in query_env)
+
+    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("tile_id", kind="mergesort")
+        first = pdf.iloc[0]
+        res_x = (first["c_lon_max"] - first["c_lon_min"]) / max(1, int(first["c_width"]))
+        res_y = (first["c_lat_max"] - first["c_lat_min"]) / max(1, int(first["c_height"]))
+        mw = int(round((ex1 - ex0) / res_x)) if res_x > 0 else 0
+        mh = int(round((ey1 - ey0) / res_y)) if res_y > 0 else 0
+        if mw <= 0 or mh <= 0:
+            return pd.DataFrame({
+                "n_chunks": [len(pdf)], "mosaic_width": [0],
+                "mosaic_height": [0], "mosaic": [b""],
+            })
+        canvas = np.zeros((mh, mw), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            if row["payload"] is None:
+                continue
+            cw, ch = int(row["c_width"]), int(row["c_height"])
+            flat = decode_payload(bytes(row["payload"]), "image").astype(np.uint8)
+            reps = int(np.ceil(cw * ch / max(1, len(flat))))
+            px = np.tile(flat, reps)[: cw * ch].reshape(ch, cw)
+            cx0, cy0 = float(row["c_lon_min"]), float(row["c_lat_min"])
+            cx1, cy1 = float(row["c_lon_max"]), float(row["c_lat_max"])
+            # crop to the query envelope (cropRaster)
+            ix0, ix1 = max(cx0, ex0), min(cx1, ex1)
+            iy0, iy1 = max(cy0, ey0), min(cy1, ey1)
+            if ix1 <= ix0 or iy1 <= iy0:
+                continue
+            crx = (cx1 - cx0) / cw
+            cry = (cy1 - cy0) / ch
+            sx0 = int(round((ix0 - cx0) / crx))
+            sy0 = int(round((cy1 - iy1) / cry))  # chunk rows run north->south
+            w_px = max(0, int(round((ix1 - ix0) / crx)))
+            h_px = max(0, int(round((iy1 - iy0) / cry)))
+            if w_px < 1 or h_px < 1:
+                continue
+            block = px[sy0 : sy0 + h_px, sx0 : sx0 + w_px]
+            # writeToMosaic origin (floor, top-down y)
+            ox = int(np.floor((ix0 - ex0) / res_x))
+            oy = int(np.floor((ey1 - iy1) / res_y))
+            # clip the destination rect to the canvas
+            bx0, by0 = max(0, -ox), max(0, -oy)
+            ox, oy = max(0, ox), max(0, oy)
+            bw = min(block.shape[1] - bx0, mw - ox)
+            bh = min(block.shape[0] - by0, mh - oy)
+            if bw < 1 or bh < 1:
+                continue
+            canvas[oy : oy + bh, ox : ox + bw] = block[by0 : by0 + bh, bx0 : bx0 + bw]
+        # nearest-neighbor scale to the requested output size
+        if (query_width, query_height) != (mw, mh):
+            xi = np.minimum((np.arange(query_width) * mw) // query_width, mw - 1)
+            yi = np.minimum((np.arange(query_height) * mh) // query_height, mh - 1)
+            canvas = canvas[yi][:, xi]
+        return pd.DataFrame({
+            "n_chunks": [len(pdf)],
+            "mosaic_width": [int(canvas.shape[1])],
+            "mosaic_height": [int(canvas.shape[0])],
+            "mosaic": [canvas.tobytes()],
+        })
+
+    return chunks.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        composite, "n_chunks long, mosaic_width int, mosaic_height int, mosaic binary"
+    )

@@ -59,6 +59,64 @@ def replay_snapshot(messages: DataFrame, at: datetime, read_behind_s: float | No
 
 CLEAR_MARKER = "__clear__"
 
+MESSAGE_SCHEMA = (
+    "offset long, kind string, id string, lon double, lat double, ts timestamp"
+)
+
+
+def kafka_reader_options(
+    brokers: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """The exact ``readStream.format("kafka")`` options a broker deployment
+    uses (``KFK/LiveKafkaConsumerFeatureSource.scala:28-191`` consumer
+    config: bootstrap servers, topic subscription, offset reset). Pure data,
+    so the contract is testable without a broker or the connector jar."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # at-least-once + idempotent upsert keyed on feature id replaces the
+        # reference's consumer-group offset management
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_message_stream(
+    spark, brokers: str, topic: str, starting_offsets: str = "latest"
+) -> DataFrame:
+    """GeoMessage stream from a Kafka topic: ``readStream.format("kafka")``
+    + JSON value parse into :data:`MESSAGE_SCHEMA`, ready for
+    :func:`live_view`.
+
+    ENV GATE: needs the ``spark-sql-kafka-0-10`` connector on the session
+    classpath (``spark-submit --packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``) and a
+    reachable broker. In this sandbox neither exists, so the call raises a
+    documented EnvironmentError; the file-stream twin
+    (``convert_stream.file_message_stream``) drives the identical downstream
+    topology in tests.
+    """
+    opts = kafka_reader_options(brokers, topic, starting_offsets)
+    reader = spark.readStream.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:  # connector jar absent -> AnalysisException
+        raise EnvironmentError(
+            "kafka connector not on the classpath; deploy with "
+            "spark-submit --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            f"and a reachable broker ({brokers})"
+        ) from e
+    parsed = raw.select(
+        F.col("offset").cast("long").alias("offset"),
+        F.from_json(F.col("value").cast("string"), MESSAGE_SCHEMA.replace("offset long, ", "")).alias("m"),
+    )
+    return parsed.select(
+        "offset", "m.kind", "m.id", "m.lon", "m.lat", "m.ts"
+    )
+
 
 def live_snapshot(spark, table: str) -> DataFrame:
     """Current live state from a sink table fed by :func:`live_view`.

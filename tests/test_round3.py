@@ -296,3 +296,113 @@ def test_layout_success_marker_written_last(spark, tmp_path):
     assert os.path.exists(os.path.join(path, "_LAYOUT_SUCCESS"))
     assert os.path.exists(os.path.join(path, "_attr/kind/_SUCCESS"))
     assert os.path.exists(os.path.join(path, "_st/_SUCCESS"))
+
+
+# ---------------------------------------------------------------------------
+# geo-positioned mosaic (pixel PLACEMENT, not just folding)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_row(tile_id, bbox, w, h, pixel_bytes):
+    x0, y0, x1, y1 = bbox
+    return (tile_id, float(x0), float(y0), float(x1), float(y1), w, h,
+            bytes(pixel_bytes))
+
+
+_CHUNK_SCHEMA = ("tile_id long, c_lon_min double, c_lat_min double, "
+                 "c_lon_max double, c_lat_max double, c_width int, "
+                 "c_height int, payload binary")
+
+
+def test_mosaic_geo_places_chunks_at_bbox_offsets(spark):
+    """Two 2x2 chunks side by side land at their geographic offsets in the
+    canvas; row 0 is the NORTH edge."""
+    from geomesa_spark.operators.tiling import mosaic_geo
+
+    rows = [
+        _chunk_row(1, (0, 0, 2, 2), 2, 2, [1, 2, 3, 4]),       # west
+        _chunk_row(2, (2, 0, 4, 2), 2, 2, [201, 202, 203, 204]),  # east
+    ]
+    chunks = spark.createDataFrame(rows, _CHUNK_SCHEMA)
+    out = mosaic_geo(chunks, (0, 0, 4, 2), 4, 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["mosaic_width"], r["mosaic_height"], r["n_chunks"]) == (4, 2, 2)
+    assert list(r["mosaic"]) == [1, 2, 201, 202, 3, 4, 203, 204]
+
+
+def test_mosaic_geo_overlap_last_tile_wins(spark):
+    """Overlapping chunks paint in ascending tile_id order (the reference's
+    scan order): the higher key overwrites."""
+    from geomesa_spark.operators.tiling import mosaic_geo
+
+    rows = [
+        _chunk_row(1, (0, 0, 2, 2), 2, 2, [1, 2, 3, 4]),
+        _chunk_row(9, (0, 0, 2, 2), 2, 2, [9, 9, 9, 9]),
+    ]
+    chunks = spark.createDataFrame(rows, _CHUNK_SCHEMA)
+    r = mosaic_geo(chunks, (0, 0, 2, 2), 2, 2).collect()[0]
+    assert list(r["mosaic"]) == [9, 9, 9, 9]
+
+
+def test_mosaic_geo_crops_to_query_env(spark):
+    """A query env covering only the east half of a chunk gets exactly that
+    half's pixel column, at canvas origin 0."""
+    from geomesa_spark.operators.tiling import mosaic_geo
+
+    rows = [_chunk_row(1, (0, 0, 2, 2), 2, 2, [1, 2, 3, 4])]
+    chunks = spark.createDataFrame(rows, _CHUNK_SCHEMA)
+    r = mosaic_geo(chunks, (1, 0, 2, 2), 1, 2).collect()[0]
+    assert (r["mosaic_width"], r["mosaic_height"]) == (1, 2)
+    assert list(r["mosaic"]) == [2, 4]
+
+
+def test_mosaic_geo_scales_nearest_neighbor(spark):
+    """Native 2x2 canvas upscaled to 4x4: each source pixel becomes a 2x2
+    block (nearest-neighbor)."""
+    from geomesa_spark.operators.tiling import mosaic_geo
+
+    rows = [_chunk_row(1, (0, 0, 2, 2), 2, 2, [1, 2, 3, 4])]
+    chunks = spark.createDataFrame(rows, _CHUNK_SCHEMA)
+    r = mosaic_geo(chunks, (0, 0, 2, 2), 4, 4).collect()[0]
+    assert (r["mosaic_width"], r["mosaic_height"]) == (4, 4)
+    assert list(r["mosaic"]) == [1, 1, 2, 2,
+                                 1, 1, 2, 2,
+                                 3, 3, 4, 4,
+                                 3, 3, 4, 4]
+
+
+# ---------------------------------------------------------------------------
+# Kafka live path: env-gated builder contract
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_reader_options_contract():
+    """The exact consumer config a broker deployment must flip on —
+    documented as pure data so it's testable without the connector."""
+    from geomesa_spark.streaming.live import kafka_reader_options
+
+    opts = kafka_reader_options("broker1:9092,broker2:9092", "geomesa-live",
+                                starting_offsets="earliest")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "geomesa-live",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+
+
+def test_kafka_message_stream_gated_or_streams(spark):
+    """Without the spark-sql-kafka connector the builder raises the
+    documented gate error naming the --packages coordinate; with it, the
+    returned stream is the parsed GeoMessage schema."""
+    from geomesa_spark.streaming.live import kafka_message_stream
+
+    try:
+        stream = kafka_message_stream(spark, "localhost:9092", "geomesa-live")
+    except EnvironmentError as e:
+        assert "spark-sql-kafka-0-10" in str(e)
+    else:  # connector present in this deployment: verify the topology
+        assert stream.isStreaming
+        assert [f.name for f in stream.schema.fields] == [
+            "offset", "kind", "id", "lon", "lat", "ts"]
