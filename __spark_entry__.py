@@ -663,6 +663,53 @@ def _q_frame_sample(spark, sf_dir):
     )
 
 
+def _q_convert_avro(spark, sf_dir):
+    """Avro container ingest end-to-end WITHOUT spark-avro: a deterministic
+    OCF (first 200 events, deflate codec) is written once per sf_dir, then
+    read back through the distributed binaryFile + pure-python OCF decode
+    fallback (sources/avro_codec.py). The oracle states the same rows
+    straight from the events parquet — matching proves byte-level decode
+    fidelity (zigzag longs, IEEE doubles, strings, codec)."""
+    import os
+
+    from geomesa_spark.sources.avro_codec import write_container
+    from geomesa_spark.sources.convert import avro_ingest
+
+    _utc(spark)
+    name = f"{sf_dir.strip('/').replace('/', '_')}_{_source_fingerprint(sf_dir, 'events')}"
+    path = f"{_LAYOUT_CACHE}/{name}_avro"
+    marker = os.path.join(path, "part0.avro")
+    if not os.path.exists(marker):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        rows = (
+            ev.filter(F.col("event_id") < 200)
+            .select("event_id", "user_id", "event_type", "value")
+            .collect()
+        )
+        schema = {
+            "type": "record", "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+        }
+        recs = sorted(
+            ({k: r[k] for k in ("event_id", "user_id", "event_type", "value")}
+             for r in rows),
+            key=lambda r: r["event_id"],
+        )
+        os.makedirs(path, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(write_container(schema, recs, codec="deflate"))
+        os.replace(tmp, marker)
+    return avro_ingest(spark, path).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 def _q_convert_delimited(spark, sf_dir):
     """Converter end-to-end via STRING specs (the reference's expression
     language): events formatted to pipe-delimited lines, parsed back through
@@ -860,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
         "convert_delimited": _q_convert_delimited,
+        "convert_avro": _q_convert_avro,
         "transform_project": _q_transform_project,
         "dms_parse": _q_dms_parse,
         "bbox_idl": _q_bbox_idl,
@@ -1333,6 +1381,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "convert_delimited": """
             SELECT event_id, event_type, value FROM events
+        """,
+        "convert_avro": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE event_id < 200
         """,
         "transform_project": f"""
             WITH {_PTS_CTE}

@@ -302,7 +302,7 @@ def _time_queries(spark) -> dict[str, float]:
         "raster_query", "mosaic", "surface", "unique_hist", "bin_records", "dedup_exact",
         "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh", "ann_ivf", "embed_dedup",
         "text_quality", "lang_id", "fingerprint", "extract_text",
-        "convert_delimited", "transform_project", "dms_parse",
+        "convert_delimited", "convert_avro", "transform_project", "dms_parse",
         "geojson_roundtrip", "replay", "map_agg_json", "media_features",
         "frame_sample",
     ]

@@ -148,21 +148,48 @@ def kafka_geomessage_sink(df: DataFrame, brokers: str, topic: str):
 
 
 def avro_ingest(spark, path: str) -> DataFrame:
-    """Avro container ingest via Spark's native reader
-    (``CNV/geomesa-convert-avro`` ingest path; field access via
-    :func:`avro_path`). Gated: the external spark-avro module is not
-    deployed in this sandbox — on a real cluster add
-    ``--packages org.apache.spark:spark-avro_2.13:<spark-version>``.
+    """Avro container ingest (``CNV/geomesa-convert-avro`` ingest path;
+    field access via :func:`avro_path`).
+
+    Fast path: Spark's native avro reader when the spark-avro module is
+    deployed (``--packages org.apache.spark:spark-avro_2.13:<version>``).
+    Fallback (this sandbox): ``binaryFile`` scan + the pure-python OCF
+    decoder (:mod:`geomesa_spark.sources.avro_codec`) inside
+    ``mapInPandas`` — fully distributed at one task per container file
+    (the reference's per-file ingest granularity), records shipped as JSON
+    lines and parsed JVM-side with ``from_json`` against the DDL derived
+    from the container's embedded writer schema. The schema probe reads one
+    file's HEADER driver-side; record decoding runs on executors only.
     """
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:  # AnalysisException: data source not found
-        if "avro" in str(e).lower():
-            raise NotImplementedError(
-                "spark-avro module not deployed in this environment; "
-                "submit with --packages org.apache.spark:spark-avro"
-            ) from e
-        raise
+        if "avro" not in str(e).lower():
+            raise
+
+    import json as _json
+
+    import pandas as _pd
+
+    from geomesa_spark.sources.avro_codec import iter_container, read_header, schema_to_ddl
+
+    files = spark.read.format("binaryFile").load(path)
+    head = files.select("content").head()
+    if head is None:
+        raise ValueError(f"no avro files at {path}")
+    schema, _codec, _sync, _off = read_header(bytes(head[0]))
+    ddl = schema_to_ddl(schema)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for data in pdf["content"]:
+                for rec in iter_container(bytes(data)):
+                    rows.append(_json.dumps(rec))
+            yield _pd.DataFrame({"json": rows})
+
+    parsed = files.select("content").mapInPandas(parse, "json string")
+    return parsed.select(F.from_json(F.col("json"), ddl).alias("r")).select("r.*")
 
 
 def avro_path(col: Column, path: str) -> Column:

@@ -355,15 +355,17 @@ def test_text_stream_converter(spark, tmp_path):
     assert got == [(1, "x", 2.5), (2, "y", 3.5)]
 
 
-def test_avro_ingest_gate(spark, tmp_path):
+def test_avro_ingest_no_longer_gated(spark, tmp_path):
+    """Round 3: the pure-python OCF fallback replaced the hard gate — a
+    missing path is a data error now, never a missing-module error.
+    Round-trip coverage lives in tests/test_round3.py."""
+    import pytest as _pytest
+
     from geomesa_spark.sources.convert import avro_ingest
 
-    try:
-        df = avro_ingest(spark, str(tmp_path / "nothing.avro"))
-    except NotImplementedError as e:
-        assert "spark-avro" in str(e)  # sandbox: module not deployed
-    except Exception:
-        pass  # module present but path missing -> reader error is fine
+    with _pytest.raises(Exception) as ei:
+        avro_ingest(spark, str(tmp_path / "nothing.avro"))
+    assert not isinstance(ei.value, NotImplementedError)
 
 
 # ---------------------------------------------------------------------------
