@@ -97,18 +97,20 @@ def _events_pts(spark: SparkSession, sf_dir: str) -> GeoTable:
     return GeoTable(geoparse(ev, "event_id"), lon="lon", lat="lat", dtg="ts", fid="event_id")
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents table, spread across the cluster: the sf parquet is a
-    single split, which would serialize every per-doc text kernel behind
-    one task (measured 2x7.6 s single-threaded gram builds); a real corpus
-    arrives in thousands of splits and pays nothing here."""
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """Documents table. ``spread=True`` repartitions an under-split input
+    across the cluster: a single parquet split serializes every per-doc
+    text kernel behind one task — and that includes the WIDE CODEGEN chains
+    (lang-id CASE tree ~0.6 ms/row, quality ratios, winnowing), measured
+    3-5x slower unspread. Only trivially-cheap consumers (md5 dedup, point
+    geoparse) pass ``spread=False``: there the shuffle costs more than the
+    work. At real scale the corpus arrives in thousands of splits and the
+    partition-count guard makes this a no-op either way."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    par = spark.sparkContext.defaultParallelism
-    # only spread when the input is under-split: at real scale the corpus
-    # already has thousands of splits and an unconditional repartition would
-    # be a pointless all-to-all shuffle of every byte of text
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
@@ -435,7 +437,7 @@ def _q_bin_records(spark, sf_dir):
 
 
 def _q_geoparse_docs(spark, sf_dir):
-    d = geoparse(_docs(_utc(spark), sf_dir), "doc_id")
+    d = geoparse(_docs(_utc(spark), sf_dir, spread=False), "doc_id")
     return d.select("doc_id", "lon", "lat")
 
 
@@ -445,7 +447,7 @@ def _q_extract_text(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
-    return exact_dedup(_docs(_utc(spark), sf_dir), "text", "doc_id")
+    return exact_dedup(_docs(_utc(spark), sf_dir, spread=False), "text", "doc_id")
 
 
 _DEDUP_GROUPS = 100
@@ -458,7 +460,10 @@ def _q_minhash_lsh(spark, sf_dir):
     estimates are ~0)."""
     from geomesa_spark.operators.dedup import synth_dedup_corpus
 
-    docs = synth_dedup_corpus(_utc(spark), _DEDUP_GROUPS, mutate=2)
+    docs = _cached_table(
+        _utc(spark), f"dedup_corpus_m2_{_DEDUP_GROUPS}",
+        lambda s: synth_dedup_corpus(s, _DEDUP_GROUPS, mutate=2),
+    )
     return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -469,7 +474,10 @@ def _q_simhash(spark, sf_dir):
     hamming(base, copy) = 0, all other docs share no tokens."""
     from geomesa_spark.operators.dedup import synth_dedup_corpus
 
-    docs = synth_dedup_corpus(_utc(spark), _DEDUP_GROUPS, mutate=0)
+    docs = _cached_table(
+        _utc(spark), f"dedup_corpus_m0_{_DEDUP_GROUPS}",
+        lambda s: synth_dedup_corpus(s, _DEDUP_GROUPS, mutate=0),
+    )
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).select(
         "id_a", "id_b", "hamming"
     )
@@ -497,11 +505,39 @@ def _emb_component(vec_id: int, d: int) -> float:
     return ((vec_id * 73856093 + d * 19349663 + 7) * 48271 % 2147483647) % 2000 / 1000.0 - 1.0
 
 
+def _cached_table(spark, name: str, build) -> DataFrame:
+    """Materialize a deterministic synthetic table to parquet once and scan
+    it thereafter: the generator expression trees (nested transform/
+    sequence) cost seconds of codegen per query; a scan costs nothing and
+    parquet round-trips doubles bit-exactly, so every planted oracle is
+    unaffected. Atomic rename guards concurrent builders."""
+    import os
+
+    path = f"{_LAYOUT_CACHE}/{name}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp{os.getpid()}"
+        # a few files, not one: a single split would serialize the Arrow
+        # kernels that consume these tables behind one task
+        build(spark).repartition(8).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the race: someone else finished first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def _synth_planted_embeddings(spark):
     """Planted ANN table: 200 deterministic base vectors + 5 power-of-two
     scaled copies of each of the first 3 (scaling by 2^j is IEEE-exact, so
     a copy's hyperplane signs and cosine-to-query are bit-identical to the
-    base's self-similarity -> the expected top-k is analytic)."""
+    base's self-similarity -> the expected top-k is analytic). Served from
+    the parquet cache (see :func:`_cached_table`)."""
+    return _cached_table(spark, "planted_embeddings", _build_planted_embeddings)
+
+
+def _build_planted_embeddings(spark):
     base = spark.range(0, _ANN_BASE).select(
         F.col("id").alias("vec_id"), F.col("id").alias("base_id"),
         F.lit(1.0).alias("scale"),
@@ -660,6 +696,28 @@ def _q_frame_sample(spark, sf_dir):
     frames = sample_frames(synth_media(_utc(spark), 1000), every_n=30)
     return frames.select(
         "media_id", "frame_idx", F.col("frame").cast("string").alias("frame_str")
+    )
+
+
+_VIS_CASE = (
+    "CASE event_type WHEN 'click' THEN 'ops' WHEN 'view' THEN '' "
+    "WHEN 'purchase' THEN 'ops&pii' WHEN 'signup' THEN 'pii|admin' "
+    "ELSE 'admin&(ops|sec)' END"
+)
+
+
+def _q_vis_filter(spark, sf_dir):
+    """Accumulo-style visibility filtering over a derived marking column
+    (boolean label expressions; runtime/security.py). Auths {ops, sec}:
+    'ops' and '' visible, 'ops&pii' not (no pii), 'pii|admin' not,
+    'admin&(ops|sec)' not (no admin). The oracle states the same CASE +
+    the precomputed visible set."""
+    from geomesa_spark.runtime.security import visibility_filter
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    marked = ev.withColumn("vis", F.expr(_VIS_CASE))
+    return visibility_filter(marked, "vis", {"ops", "sec"}).select(
+        "event_id", "vis"
     )
 
 
@@ -908,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "convert_delimited": _q_convert_delimited,
         "convert_avro": _q_convert_avro,
+        "vis_filter": _q_vis_filter,
         "transform_project": _q_transform_project,
         "dms_parse": _q_dms_parse,
         "bbox_idl": _q_bbox_idl,
@@ -1385,6 +1444,10 @@ def oracle_sql() -> dict[str, str]:
         "convert_avro": """
             SELECT event_id, user_id, event_type, value FROM events
             WHERE event_id < 200
+        """,
+        "vis_filter": f"""
+            WITH m AS (SELECT event_id, {_VIS_CASE} AS vis FROM events)
+            SELECT event_id, vis FROM m WHERE vis IN ('ops', '')
         """,
         "transform_project": f"""
             WITH {_PTS_CTE}

@@ -200,8 +200,10 @@ def embedding_near_pairs(
     exploded = emb.select(
         F.col(id_col), F.explode(buckets(F.col(vec_col))).alias("bucket")
     )
-    sizes = exploded.groupBy("bucket").agg(F.count("*").alias("__bn"))
-    keyed = exploded.join(sizes, "bucket")
+    # window count, same shuffle diet as the minhash path
+    keyed = exploded.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("bucket"))
+    )
 
     small = keyed.filter((F.col("__bn") >= 2) & (F.col("__bn") <= bucket_cap)).drop("__bn")
     l, r = small.alias("l"), small.alias("r")

@@ -24,26 +24,32 @@ from geomesa_spark.functions.zexpr import epoch_seconds
 from geomesa_spark.plans.compiler import GeoTable
 
 
-def bin_records(table: GeoTable, track_col: str) -> DataFrame:
+def bin_records(table: GeoTable, track_col: str, total_sort: bool = False) -> DataFrame:
     """The logical BIN projection: (track_hash, secs, lat, lon), time-sorted
-    per partition — a global sort would be an all-to-one shuffle at 100 TB;
-    consumers that need a total order add their own orderBy.
+    per partition by default — a global sort is an all-to-one range shuffle
+    at 100 TB, so it is opt-in, mirroring the reference's optional
+    whole-result time sort (``BinAggregatingIterator`` sorts per chunk by
+    default and only the export client merge-sorts the chunks when asked).
+
+    ``total_sort=True`` produces the merged total time order
+    (range-partitioned sort: each output split holds one time slice, the
+    distributed equivalent of the client-side chunk merge).
 
     track_hash matches the reference's int hash of the track id; here a
     deterministic 32-bit hash (xxhash64 folded) so both engines can agree.
     """
-    return (
-        table.df.select(
-            F.col(track_col).alias("track"),
-            (F.xxhash64(F.col(track_col).cast("string")) % F.lit(2147483647))
-            .cast("int")
-            .alias("track_hash"),
-            epoch_seconds(F.col(table.dtg)).cast("int").alias("secs"),
-            F.col(table.lat).cast("float").alias("lat"),
-            F.col(table.lon).cast("float").alias("lon"),
-        )
-        .sortWithinPartitions("track", "secs")
+    out = table.df.select(
+        F.col(track_col).alias("track"),
+        (F.xxhash64(F.col(track_col).cast("string")) % F.lit(2147483647))
+        .cast("int")
+        .alias("track_hash"),
+        epoch_seconds(F.col(table.dtg)).cast("int").alias("secs"),
+        F.col(table.lat).cast("float").alias("lat"),
+        F.col(table.lon).cast("float").alias("lon"),
     )
+    if total_sort:
+        return out.orderBy("secs", "track")
+    return out.sortWithinPartitions("track", "secs")
 
 
 def bin_pack(table: GeoTable, track_col: str, label_col: str | None = None) -> DataFrame:

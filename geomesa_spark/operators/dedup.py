@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic MinHash seeds (fixed so runs are reproducible/resumable)
@@ -127,8 +127,12 @@ def minhash_lsh_pairs(
     exploded = sigs.withColumn("bb", F.explode(band_cols)).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("__bn"))
-    keyed = exploded.join(sizes, ["band", "bucket"])
+    # bucket sizes via a window count, not agg+join: one shuffle of the
+    # exploded table instead of two, and the window's (band, bucket) hash
+    # partitioning feeds the self-join below without another exchange
+    keyed = exploded.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
 
     small = keyed.filter((F.col("__bn") >= 2) & (F.col("__bn") <= bucket_cap)).drop("__bn")
     l, r = small.alias("l"), small.alias("r")
@@ -218,8 +222,10 @@ def simhash_near_pairs(
     exploded = sigs.withColumn("c", F.explode(chunks)).select(
         F.col(id_col), "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
     )
-    sizes = exploded.groupBy("chunk", "val").agg(F.count("*").alias("__bn"))
-    keyed = exploded.join(sizes, ["chunk", "val"])
+    # window count, same shuffle diet as minhash_lsh_pairs
+    keyed = exploded.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("chunk", "val"))
+    )
 
     small = keyed.filter((F.col("__bn") >= 2) & (F.col("__bn") <= bucket_cap)).drop("__bn")
     l, r = small.alias("l"), small.alias("r")
@@ -350,10 +356,14 @@ def ngram_jaccard_exact(
     """
     g = _gram_table(df, text_col, id_col, n)
     if max_gram_df is not None:
-        # one extra (gram)->count shuffle; drops the O(B^2) blowup. na/nb
-        # stay exact: they were folded into the array before the explode.
-        gram_df = g.groupBy("gram").agg(F.count("*").alias("__df"))
-        g = g.join(gram_df.filter(F.col("__df") <= max_gram_df), "gram").drop("__df")
+        # window count over gram (one shuffle, partitioning reused by the
+        # self-join below); drops the O(B^2) blowup. na/nb stay exact:
+        # they were folded into the array before the explode.
+        g = (
+            g.withColumn("__df", F.count("*").over(Window.partitionBy("gram")))
+            .filter(F.col("__df") <= max_gram_df)
+            .drop("__df")
+        )
     a = g.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
     b = g.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
     pairs = (

@@ -512,3 +512,29 @@ def test_avro_bytes_requires_fast_path():
     with _pytest.raises(ValueError, match="spark-avro"):
         schema_to_ddl({"type": "record", "name": "R",
                        "fields": [{"name": "b", "type": "bytes"}]})
+
+
+# ---------------------------------------------------------------------------
+# BIN whole-result time sort (opt-in total order)
+# ---------------------------------------------------------------------------
+
+
+def test_bin_records_total_sort(spark):
+    """total_sort=True yields the merged whole-result time order the
+    reference's export client produces; default stays chunk-sorted."""
+    from datetime import datetime, timezone
+
+    from geomesa_spark.operators.bin_export import bin_records
+    from geomesa_spark.plans.compiler import GeoTable
+
+    rows = [(str(i), float(i % 10), float(-i % 5),
+             datetime(2020, 1, 1, tzinfo=timezone.utc).replace(
+                 hour=(i * 7) % 24, minute=i % 60), f"trk{i % 3}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "id string, lon double, lat double, dtg timestamp, trk string")
+    t = GeoTable(df=df.repartition(8), lon="lon", lat="lat", dtg="dtg", fid="id")
+    got = bin_records(t, "trk", total_sort=True).collect()
+    secs = [r["secs"] for r in got]
+    assert secs == sorted(secs)
+    assert len(got) == 200
