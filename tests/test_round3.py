@@ -538,3 +538,58 @@ def test_bin_records_total_sort(spark):
     secs = [r["secs"] for r in got]
     assert secs == sorted(secs)
     assert len(got) == 200
+
+
+def test_avro_codec_named_type_reuse_and_neg_blocks():
+    """Decoder handles a named record referenced by name a second time, and
+    the spec's negative-count array block form (count<0 -> |count| items
+    preceded by a byte size)."""
+    import io
+
+    from geomesa_spark.sources.avro_codec import (
+        _decode,
+        _register,
+        _write_long,
+        iter_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record", "name": "Pair",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "Pt",
+                "fields": [{"name": "x", "type": "long"}]}},
+            {"name": "b", "type": "Pt"},  # reference by name
+        ],
+    }
+    recs = [{"a": {"x": 1}, "b": {"x": 2}}, {"a": {"x": -3}, "b": {"x": 4}}]
+    assert list(iter_container(write_container(schema, recs))) == recs
+
+    # hand-craft a negative-count array block: [-2 items, byte size, 7, 9, 0]
+    buf = io.BytesIO()
+    _write_long(buf, -2)
+    items = io.BytesIO()
+    _write_long(items, 7)
+    _write_long(items, 9)
+    _write_long(buf, len(items.getvalue()))
+    buf.write(items.getvalue())
+    _write_long(buf, 0)
+    buf.seek(0)
+    named = {}
+    assert _decode(buf, {"type": "array", "items": "long"}, named) == [7, 9]
+
+
+def test_avro_codec_corrupt_inputs_raise():
+    import pytest as _pytest
+
+    from geomesa_spark.sources.avro_codec import iter_container, write_container
+
+    with _pytest.raises(ValueError, match="magic"):
+        list(iter_container(b"NOPE" + b"\x00" * 40))
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "x", "type": "long"}]}
+    data = bytearray(write_container(schema, [{"x": 1}]))
+    data[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with _pytest.raises(ValueError, match="sync"):
+        list(iter_container(bytes(data)))
