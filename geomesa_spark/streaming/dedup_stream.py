@@ -1,0 +1,40 @@
+"""Streaming exact deduplication for the ingest path.
+
+The reference deduplicates at-least-once Kafka deliveries by feature id
+(``ACC/iterators/DeDuplicatingIterator.scala`` on the query side; consumer
+offset + idempotent upsert on the live view). A training-data ingest
+pipeline needs the CONTENT-level twin: drop re-crawled/duplicate documents
+as they stream in, before they ever land in the corpus.
+
+Spark-first shape: ``dropDuplicatesWithinWatermark`` over the 128-bit
+content hash — first-seen doc per hash wins, and the watermark bounds the
+dedup state store (without a bound, 10^12 hashes of state accumulate
+forever; with it, a hash seen more than ``delay`` after its first arrival
+is treated as new content, which is the correct trade for a crawl where
+true re-deliveries cluster in time). Only (hash, timestamp) lives in
+state; the document body rides the stream untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """First-seen-wins content dedup over a streaming DataFrame.
+
+    ``stream`` must be a streaming DataFrame carrying ``text_col`` and an
+    event-time ``ts_col``. Returns the stream with duplicate-content rows
+    dropped and a ``content_hash`` column attached. State is keyed on the
+    md5 only (16 bytes/doc), evicted ``delay`` past the watermark.
+    """
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

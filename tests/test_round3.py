@@ -593,3 +593,39 @@ def test_avro_codec_corrupt_inputs_raise():
     data[-1] ^= 0xFF  # corrupt the trailing sync marker
     with _pytest.raises(ValueError, match="sync"):
         list(iter_container(bytes(data)))
+
+
+# ---------------------------------------------------------------------------
+# streaming content dedup (ingest-path at-least-once twin)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Duplicate-content rows across micro-batch files are dropped; state is
+    keyed on the md5 only."""
+    from datetime import datetime, timezone
+
+    from geomesa_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_stream")
+    rows = []
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    for i in range(30):
+        # 10 distinct texts, each delivered 3x (re-crawl duplicates)
+        rows.append((i, f"document body number {i % 10}",
+                     base.replace(minute=i)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    out = streaming_exact_dedup(stream, "text", "ts", delay="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = spark.table("dedup_stream").collect()
+    assert len(got) == 10
+    assert len({r["content_hash"] for r in got}) == 10
+    assert sorted({r["text"] for r in got}) == sorted(
+        {f"document body number {k}" for k in range(10)})
