@@ -267,33 +267,41 @@ def knn_ring_expansion(
         r0_m = max(1_000.0, math.sqrt(fraction * _EARTH_AREA_M2 / math.pi))
     pending = list(queries)
     radius = min(r0_m, max_radius_m)
-    results: list[DataFrame] = []
+    rows: list = []
+    schema = None
 
     while pending:
         cand = _cell_join_candidates(points, pending, radius * cover_pad, metric).filter(
             F.col("dist") <= radius
         )
-        topk = _topk(points, cand, k)
-        counts = {
-            r["query_id"]: r["n"]
-            for r in topk.groupBy("query_id").agg(F.count("*").alias("n")).collect()
-        }
-        done = [
+        topk = _topk(points, cand, k).drop("q_lon", "q_lat")
+        # ONE job per round: the top-K set is bounded (k rows per pending
+        # query, driver-sized by construction — the queries themselves live
+        # on the driver), so collect it directly; counting per query from
+        # the collected rows avoids a second execution of the window when
+        # the final result is assembled. (The previous shape ran the
+        # count() job AND re-ran the whole window per round at final
+        # collection time.)
+        if schema is None:
+            schema = topk.drop("knn_rank").schema
+        collected = topk.collect()
+        counts: dict[str, int] = {}
+        for r in collected:
+            counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+        done = {
             qid for qid, _, _ in pending
             if counts.get(qid, 0) >= k or radius >= max_radius_m
-        ]
+        }
         if done:
-            results.append(
-                topk.filter(F.col("query_id").isin(done)).drop(
-                    "q_lon", "q_lat", "knn_rank"
-                )
-            )
+            drop_idx = collected[0].__fields__.index("knn_rank") if collected else -1
+            for r in collected:
+                if r["query_id"] in done:
+                    vals = list(r)
+                    del vals[drop_idx]
+                    rows.append(vals)
         pending = [q for q in pending if q[0] not in done]
         radius = min(radius * 2, max_radius_m)
 
-    if not results:
+    if schema is None or not rows:
         return knn_join(points, [], k)
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    return points.df.sparkSession.createDataFrame(rows, schema)
