@@ -493,15 +493,18 @@ def main() -> None:
         # where each node brings its own memory bus. The 8-vs-32 pair above
         # is reported too and documents the one-box bandwidth ceiling.
         tr_lo2 = _phase_proc("transform", LO2, reps=2)
-        ctl_hi = _phase_proc("control", HI, reps=3)
-        ctl_lo = _phase_proc("control", LO, reps=3)
+        # the >=0.8 claims live on the 2v8 pairs (reps=2); the 8v32 ceiling
+        # rows and the joinscale curve point are documentation and run at
+        # reduced reps to keep the whole bench under the driver's patience
+        ctl_hi = _phase_proc("control", HI, reps=2)
+        ctl_lo = _phase_proc("control", LO, reps=2)
         ctl8_s = _phase_proc("control", LO, reps=2,
                              extra_env={"BENCH_CONTROL_ROWS": ctl2_rows})
         ctl2_s = _phase_proc("control", LO2, reps=2,
                              extra_env={"BENCH_CONTROL_ROWS": ctl2_rows})
         if JOIN_SCALE_ROWS > 0:
-            js_hi = _phase_proc("joinscale", HI, reps=2)
-            js_lo = _phase_proc("joinscale", LO, reps=2)
+            js_hi = _phase_proc("joinscale", HI, reps=1)
+            js_lo = _phase_proc("joinscale", LO, reps=1)
 
     t_write = _phase_proc("prep", HI)["t"]
     _sync_disk()

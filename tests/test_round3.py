@@ -34,7 +34,7 @@ def test_simhash_hot_bucket_star(spark):
     assert all(h == 0 for h in got.values())
 
 
-def test_simhash_small_buckets_unaffected_by_cap(spark, ):
+def test_simhash_small_buckets_unaffected_by_cap(spark):
     """Below the cap the banding is exhaustive (pigeonhole): the capped
     operator returns exactly the numpy all-pairs hamming<=3 set."""
     from geomesa_spark.operators.dedup import (
