@@ -193,69 +193,134 @@ def mosaic_geo(
     :func:`raster_query`. Returns one row
     (n_chunks, mosaic_width, mosaic_height, mosaic binary).
     """
-    from geomesa_spark.operators.multimodal import decode_payload
-
     ex0, ey0, ex1, ey1 = (float(v) for v in query_env)
 
     def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("tile_id", kind="mergesort")
-        first = pdf.iloc[0]
-        res_x = (first["c_lon_max"] - first["c_lon_min"]) / max(1, int(first["c_width"]))
-        res_y = (first["c_lat_max"] - first["c_lat_min"]) / max(1, int(first["c_height"]))
-        mw = int(round((ex1 - ex0) / res_x)) if res_x > 0 else 0
-        mh = int(round((ey1 - ey0) / res_y)) if res_y > 0 else 0
-        if mw <= 0 or mh <= 0:
-            return pd.DataFrame({
-                "n_chunks": [len(pdf)], "mosaic_width": [0],
-                "mosaic_height": [0], "mosaic": [b""],
-            })
-        canvas = np.zeros((mh, mw), dtype=np.uint8)
-        for _, row in pdf.iterrows():
-            if row["payload"] is None:
-                continue
-            cw, ch = int(row["c_width"]), int(row["c_height"])
-            flat = decode_payload(bytes(row["payload"]), "image").astype(np.uint8)
-            reps = int(np.ceil(cw * ch / max(1, len(flat))))
-            px = np.tile(flat, reps)[: cw * ch].reshape(ch, cw)
-            cx0, cy0 = float(row["c_lon_min"]), float(row["c_lat_min"])
-            cx1, cy1 = float(row["c_lon_max"]), float(row["c_lat_max"])
-            # crop to the query envelope (cropRaster)
-            ix0, ix1 = max(cx0, ex0), min(cx1, ex1)
-            iy0, iy1 = max(cy0, ey0), min(cy1, ey1)
-            if ix1 <= ix0 or iy1 <= iy0:
-                continue
-            crx = (cx1 - cx0) / cw
-            cry = (cy1 - cy0) / ch
-            sx0 = int(round((ix0 - cx0) / crx))
-            sy0 = int(round((cy1 - iy1) / cry))  # chunk rows run north->south
-            w_px = max(0, int(round((ix1 - ix0) / crx)))
-            h_px = max(0, int(round((iy1 - iy0) / cry)))
-            if w_px < 1 or h_px < 1:
-                continue
-            block = px[sy0 : sy0 + h_px, sx0 : sx0 + w_px]
-            # writeToMosaic origin (floor, top-down y)
-            ox = int(np.floor((ix0 - ex0) / res_x))
-            oy = int(np.floor((ey1 - iy1) / res_y))
-            # clip the destination rect to the canvas
-            bx0, by0 = max(0, -ox), max(0, -oy)
-            ox, oy = max(0, ox), max(0, oy)
-            bw = min(block.shape[1] - bx0, mw - ox)
-            bh = min(block.shape[0] - by0, mh - oy)
-            if bw < 1 or bh < 1:
-                continue
-            canvas[oy : oy + bh, ox : ox + bw] = block[by0 : by0 + bh, bx0 : bx0 + bw]
-        # nearest-neighbor scale to the requested output size
-        if (query_width, query_height) != (mw, mh):
-            xi = np.minimum((np.arange(query_width) * mw) // query_width, mw - 1)
-            yi = np.minimum((np.arange(query_height) * mh) // query_height, mh - 1)
-            canvas = canvas[yi][:, xi]
+        n, w, h, data = _composite_canvas(
+            pdf, (ex0, ey0, ex1, ey1), query_width, query_height
+        )
         return pd.DataFrame({
-            "n_chunks": [len(pdf)],
-            "mosaic_width": [int(canvas.shape[1])],
-            "mosaic_height": [int(canvas.shape[0])],
-            "mosaic": [canvas.tobytes()],
+            "n_chunks": [n], "mosaic_width": [w],
+            "mosaic_height": [h], "mosaic": [data],
         })
 
     return chunks.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
         composite, "n_chunks long, mosaic_width int, mosaic_height int, mosaic binary"
+    )
+
+
+def _composite_canvas(
+    pdf: pd.DataFrame,
+    env: tuple[float, float, float, float],
+    query_width: int,
+    query_height: int,
+) -> tuple[int, int, int, bytes]:
+    """The mosaicChunks kernel for one output canvas (shared by the
+    single-request :func:`mosaic_geo` and the per-tile fanout
+    :func:`mosaic_geo_tiles`)."""
+    from geomesa_spark.operators.multimodal import decode_payload
+
+    ex0, ey0, ex1, ey1 = env
+    pdf = pdf.sort_values("tile_id", kind="mergesort")
+    first = pdf.iloc[0]
+    res_x = (first["c_lon_max"] - first["c_lon_min"]) / max(1, int(first["c_width"]))
+    res_y = (first["c_lat_max"] - first["c_lat_min"]) / max(1, int(first["c_height"]))
+    mw = int(round((ex1 - ex0) / res_x)) if res_x > 0 else 0
+    mh = int(round((ey1 - ey0) / res_y)) if res_y > 0 else 0
+    if mw <= 0 or mh <= 0:
+        return len(pdf), 0, 0, b""
+    canvas = np.zeros((mh, mw), dtype=np.uint8)
+    for _, row in pdf.iterrows():
+        if row["payload"] is None:
+            continue
+        cw, ch = int(row["c_width"]), int(row["c_height"])
+        flat = decode_payload(bytes(row["payload"]), "image").astype(np.uint8)
+        reps = int(np.ceil(cw * ch / max(1, len(flat))))
+        px = np.tile(flat, reps)[: cw * ch].reshape(ch, cw)
+        cx0, cy0 = float(row["c_lon_min"]), float(row["c_lat_min"])
+        cx1, cy1 = float(row["c_lon_max"]), float(row["c_lat_max"])
+        # crop to the query envelope (cropRaster)
+        ix0, ix1 = max(cx0, ex0), min(cx1, ex1)
+        iy0, iy1 = max(cy0, ey0), min(cy1, ey1)
+        if ix1 <= ix0 or iy1 <= iy0:
+            continue
+        crx = (cx1 - cx0) / cw
+        cry = (cy1 - cy0) / ch
+        sx0 = int(round((ix0 - cx0) / crx))
+        sy0 = int(round((cy1 - iy1) / cry))  # chunk rows run north->south
+        w_px = max(0, int(round((ix1 - ix0) / crx)))
+        h_px = max(0, int(round((iy1 - iy0) / cry)))
+        if w_px < 1 or h_px < 1:
+            continue
+        block = px[sy0 : sy0 + h_px, sx0 : sx0 + w_px]
+        # writeToMosaic origin (floor, top-down y)
+        ox = int(np.floor((ix0 - ex0) / res_x))
+        oy = int(np.floor((ey1 - iy1) / res_y))
+        # clip the destination rect to the canvas
+        bx0, by0 = max(0, -ox), max(0, -oy)
+        ox, oy = max(0, ox), max(0, oy)
+        bw = min(block.shape[1] - bx0, mw - ox)
+        bh = min(block.shape[0] - by0, mh - oy)
+        if bw < 1 or bh < 1:
+            continue
+        canvas[oy : oy + bh, ox : ox + bw] = block[by0 : by0 + bh, bx0 : bx0 + bw]
+    # nearest-neighbor scale to the requested output size
+    if (query_width, query_height) != (mw, mh):
+        xi = np.minimum((np.arange(query_width) * mw) // query_width, mw - 1)
+        yi = np.minimum((np.arange(query_height) * mh) // query_height, mh - 1)
+        canvas = canvas[yi][:, xi]
+    return len(pdf), int(canvas.shape[1]), int(canvas.shape[0]), canvas.tobytes()
+
+
+def mosaic_geo_tiles(
+    chunks: DataFrame, out_level: int, tile_px: int = 256
+) -> DataFrame:
+    """Tile-pyramid mosaic fanout: ONE canvas per output XYZ tile at
+    ``out_level``, each composited with the same geo-positioned kernel as
+    :func:`mosaic_geo` over its own tile envelope.
+
+    This is the materialization shape at scale: a chunk is exploded to
+    every output tile its bbox overlaps (driver-free — the overlap tiles
+    are computed with built-in arithmetic on the chunk bbox columns), then
+    one ``groupBy(out_tile)`` fans the compositing across the cluster —
+    thousands of canvases in one job instead of one job per request.
+    Returns (out_tile long, n_chunks, mosaic_width, mosaic_height,
+    mosaic binary).
+    """
+    n = 1 << out_level
+    # output-tile x/y index ranges overlapped by each chunk bbox (XYZ grid:
+    # x from lon west->east, y from lat NORTH->south)
+    x0 = F.floor((F.col("c_lon_min") + 180.0) / 360.0 * n).cast("long")
+    x1 = F.ceil((F.col("c_lon_max") + 180.0) / 360.0 * n).cast("long") - 1
+    y0 = F.floor((90.0 - F.col("c_lat_max")) / 180.0 * n).cast("long")
+    y1 = F.ceil((90.0 - F.col("c_lat_min")) / 180.0 * n).cast("long") - 1
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c))  # noqa: E731
+    xs = F.sequence(clamp(x0), clamp(F.greatest(x1, x0)))
+    ys = F.sequence(clamp(y0), clamp(F.greatest(y1, y0)))
+    tiled = (
+        chunks.withColumn("__tx", F.explode(xs))
+        .withColumn("__ty", F.explode(ys))
+        .withColumn(
+            "out_tile",
+            F.lit(out_level * (1 << 52)) + F.col("__tx") * F.lit(1 << 26) + F.col("__ty"),
+        )
+        .drop("__tx", "__ty")
+    )
+
+    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from geomesa_spark.cells.tiles import tile_bbox
+
+        tid = int(key[0])
+        x = (tid - out_level * (1 << 52)) // (1 << 26)
+        y = tid - out_level * (1 << 52) - x * (1 << 26)
+        env = tile_bbox(out_level, int(x), int(y))
+        cnt, w, h, data = _composite_canvas(pdf, env, tile_px, tile_px)
+        return pd.DataFrame({
+            "out_tile": [tid], "n_chunks": [cnt], "mosaic_width": [w],
+            "mosaic_height": [h], "mosaic": [data],
+        })
+
+    return tiled.groupBy("out_tile").applyInPandas(
+        composite,
+        "out_tile long, n_chunks long, mosaic_width int, mosaic_height int, mosaic binary",
     )

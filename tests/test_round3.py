@@ -629,3 +629,44 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     assert len({r["content_hash"] for r in got}) == 10
     assert sorted({r["text"] for r in got}) == sorted(
         {f"document body number {k}" for k in range(10)})
+
+
+def test_mosaic_geo_tiles_fanout(spark):
+    """Per-tile mosaic fanout: chunks land on every output tile they
+    overlap, each canvas composited over its own tile envelope."""
+    from geomesa_spark.cells.tiles import tile_bbox
+    from geomesa_spark.operators.tiling import mosaic_geo_tiles
+
+    # level 1: four 180x90-degree tiles. One chunk per hemisphere quadrant
+    # (exact tile bboxes), plus one chunk straddling the antimeridian-free
+    # center -> overlaps all 4 tiles.
+    rows = [
+        _chunk_row(1, (-180, 0, 0, 90), 2, 2, [10, 11, 12, 13]),   # NW tile
+        _chunk_row(2, (0, -90, 180, 0), 2, 2, [20, 21, 22, 23]),   # SE tile
+        _chunk_row(9, (-90, -45, 90, 45), 2, 2, [91, 92, 93, 94]),  # center
+    ]
+    chunks = spark.createDataFrame(rows, _CHUNK_SCHEMA)
+    out = {r["out_tile"]: r for r in
+           mosaic_geo_tiles(chunks, out_level=1, tile_px=4).collect()}
+    assert len(out) == 4  # the center chunk touches every level-1 tile
+
+    def tid(x, y):
+        return 1 * (1 << 52) + x * (1 << 26) + y
+
+    # NW tile (x=0,y=0): chunk 1 fills it, chunk 9's NW quarter overwrites
+    # the SE corner of the canvas (higher key wins)
+    nw = out[tid(0, 0)]
+    assert nw["n_chunks"] == 2
+    assert (nw["mosaic_width"], nw["mosaic_height"]) == (4, 4)
+    px = list(nw["mosaic"])
+    # chunk 1 is 2x2 over the whole tile -> upscaled 2x; chunk 9's block
+    # covers lon [-90,0] x lat [0,45] = east half, south half of this tile
+    assert px[0] == 10 and px[3] == 11          # north row from chunk 1
+    assert px[12] == 12                           # SW corner from chunk 1
+    assert px[15] in (91, 92, 93, 94)             # SE corner overwritten by 9
+    # NE tile (x=1,y=0): only chunk 9's NE-quarter block
+    ne = out[tid(1, 0)]
+    assert ne["n_chunks"] == 1
+    ne_px = list(ne["mosaic"])
+    assert any(v in (91, 92, 93, 94) for v in ne_px)
+    assert ne_px[3] == 0  # east of chunk 9's extent stays empty
