@@ -150,3 +150,33 @@ def test_box_within_polygon_implies_points_inside(box, lon, lat):
     ys = np.linspace(y0, y1, 5)
     gx, gy = np.meshgrid(xs, ys)
     assert points_in_polygon(gx.ravel(), gy.ravel(), tri).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.fixed_dictionaries({
+        "fid": st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+        "label": st.text(max_size=40),
+        "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "maybe": st.one_of(st.none(), st.text(max_size=10)),
+        "tags": st.lists(st.text(max_size=8), max_size=5),
+    }),
+    min_size=1, max_size=20,
+))
+def test_avro_container_roundtrip_property(records):
+    """Arbitrary records survive encode->decode bit-exactly, both codecs
+    (zigzag longs across the full range, UTF-8 strings, unions, arrays)."""
+    from geomesa_spark.sources.avro_codec import iter_container, write_container
+
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "fid", "type": "long"},
+            {"name": "label", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "maybe", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    for codec in ("null", "deflate"):
+        assert list(iter_container(write_container(schema, records, codec))) == records
