@@ -533,8 +533,10 @@ def _synth_planted_embeddings(spark):
     scaled copies of each of the first 3 (scaling by 2^j is IEEE-exact, so
     a copy's hyperplane signs and cosine-to-query are bit-identical to the
     base's self-similarity -> the expected top-k is analytic). Served from
-    the parquet cache (see :func:`_cached_table`)."""
-    return _cached_table(spark, "planted_embeddings", _build_planted_embeddings)
+    the parquet cache (see :func:`_cached_table`); the generator constants
+    are part of the cache key so changing them can never serve stale rows."""
+    name = f"planted_embeddings_{_ANN_BASE}_{_ANN_QUERIES}_{_ANN_COPIES}_{_ANN_DIM}"
+    return _cached_table(spark, name, _build_planted_embeddings)
 
 
 def _build_planted_embeddings(spark):
