@@ -290,13 +290,42 @@ def _q_bbox_geoms(spark, sf_dir):
         write_geom_layout,
     )
 
-    _utc(spark)
+    lay = _geom_layout(_utc(spark), sf_dir)
+    return query_geom_bbox(lay, _GEOM_BOX, fid="event_id").select("event_id")
+
+
+def _geom_layout(spark, sf_dir):
+    """Cell-decomposed layout of the geometry rows (written once per
+    sf_dir, shared by the bbox and join entries)."""
+    import os
+
+    from geomesa_spark.sources.geom_layout import read_geom_layout, write_geom_layout
+
     name = f"{sf_dir.strip('/').replace('/', '_')}_{_source_fingerprint(sf_dir, 'events')}"
     path = f"{_LAYOUT_CACHE}/{name}_geoms"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_geom_layout(_geom_rows(spark, sf_dir), path, wkt_col="wkt")
-    lay = read_geom_layout(spark, path)
-    return query_geom_bbox(lay, _GEOM_BOX, fid="event_id").select("event_id")
+    return read_geom_layout(spark, path)
+
+
+def _q_spatial_join_geoms(spark, sf_dir):
+    """Non-point spatial join: geometry rows (squares + horizontal
+    segments) against the axis-aligned reference boxes through the
+    cell-decomposed layout (geometry-shaped cover equi-join + codegen
+    bbox cut + exact kernel + (row, poly) dedupe,
+    ``geom_layout.geom_spatial_join``). Axis-aligned build side keeps the
+    oracle pure interval arithmetic while the engine runs the generic WKT
+    kernels."""
+    from geomesa_spark.sources.geom_layout import geom_spatial_join
+
+    lay = _geom_layout(_utc(spark), sf_dir)
+    box_polys = [
+        (pid, f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")
+        for pid, x0, y0, x1, y1 in _BOXES
+    ]
+    return geom_spatial_join(lay, box_polys, fid="event_id").select(
+        "event_id", "poly_id"
+    )
 
 
 def _q_within(spark, sf_dir):
@@ -942,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tube": _q_tube,
         "spatial_join_boxes": _q_spatial_join_boxes,
         "spatial_join_poly": _q_spatial_join_poly,
+        "spatial_join_geoms": _q_spatial_join_geoms,
         "density": _q_density,
         "temporal_density": _q_temporal_density,
         "unique_hist": _q_unique_hist,
@@ -1274,6 +1304,24 @@ def oracle_sql() -> dict[str, str]:
                   ELSE
                     lat BETWEEN {_GEOM_BOX[1]!r} AND {_GEOM_BOX[3]!r}
                     AND lon + ll >= {_GEOM_BOX[0]!r} AND lon - ll <= {_GEOM_BOX[2]!r}
+                  END
+        """,
+        "spatial_join_geoms": f"""
+            WITH {_PTS_CTE},
+            g AS (
+              SELECT event_id, lon, lat,
+                     0.055 + CAST(event_id % 10 AS DOUBLE) * 0.02 AS h,
+                     0.065 + CAST(event_id % 7 AS DOUBLE) * 0.03 AS ll
+              FROM pts
+            ),
+            boxes(poly_id, x0, y0, x1, y1) AS (VALUES {_boxes_values()})
+            SELECT event_id, poly_id FROM g CROSS JOIN boxes
+            WHERE CASE WHEN event_id % 2 = 0 THEN
+                    lon - h <= x1 AND lon + h >= x0
+                    AND lat - h <= y1 AND lat + h >= y0
+                  ELSE
+                    lat BETWEEN y0 AND y1
+                    AND lon + ll >= x0 AND lon - ll <= x1
                   END
         """,
         "dwithin": f"""

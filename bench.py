@@ -303,6 +303,7 @@ def _time_queries(spark) -> dict[str, float]:
         "within", "disjoint", "contains_pt", "dwithin", "attr_filter",
         "attr_filter_indexed", "bbox_geoms",
         "knn", "knn_ring", "proximity", "tube", "spatial_join_poly",
+        "spatial_join_geoms",
         "density", "temporal_density", "tile_counts", "tile_rollup",
         "raster_query", "mosaic", "surface", "unique_hist", "bin_records", "dedup_exact",
         "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh", "ann_ivf", "embed_dedup",
