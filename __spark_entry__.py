@@ -874,6 +874,69 @@ def _q_geojson_roundtrip(spark, sf_dir):
     )
 
 
+def _q_gml_roundtrip(spark, sf_dir):
+    """GML 2 export fidelity via parse-back (same contract as
+    geojson_roundtrip: the oracle checks the extracted coordinates; the
+    double->string->double round-trip is exact)."""
+    from geomesa_spark.sources.convert import to_gml
+
+    t = _events_pts(_utc(spark), sf_dir)
+    gml = to_gml(t.df, "lon", "lat", id_col="event_id")
+    out = t.df.select(F.col("event_id"), gml.alias("g"))
+    coords = r"<gml:coordinates>([^,]+),([^<]+)</gml:coordinates>"
+    return out.select(
+        "event_id",
+        F.regexp_extract("g", coords, 1).cast("double").alias("gml_lon"),
+        F.regexp_extract("g", coords, 2).cast("double").alias("gml_lat"),
+    )
+
+
+def _q_bin_pack(spark, sf_dir):
+    """Packed BIN blobs per track: the blob bytes are pytest-verified
+    (test_operators struct unpack); the driver row checks the per-track
+    record counts and width exactly."""
+    from geomesa_spark.operators.bin_export import bin_pack
+
+    t = _events_pts(_utc(spark), sf_dir)
+    return bin_pack(t, "event_type").select("track", "n", "record_width")
+
+
+def _q_convert_fixedwidth(spark, sf_dir):
+    """Fixed-width converter end-to-end: events formatted into fixed-offset
+    lines, parsed back by byte offsets (FixedWidthConverters semantics);
+    oracle is the original table."""
+    from geomesa_spark.sources.convert import fixed_width
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.concat(
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            F.rpad(F.col("event_type"), 10, " "),
+        ).alias("line")
+    )
+    parsed = fixed_width(lines, "line", [
+        ("f_id", 0, 12), ("f_user", 12, 24), ("f_type", 24, 34),
+    ])
+    return parsed.select(
+        F.expr("try_cast(f_id AS LONG)").alias("event_id"),
+        F.expr("try_cast(f_user AS LONG)").alias("user_id"),
+        F.trim(F.col("f_type")).alias("event_type"),
+    )
+
+
+_TS_LO = datetime(2024, 1, 8, 0, 0, tzinfo=timezone.utc)
+_TS_HI = datetime(2024, 1, 9, 12, 0, tzinfo=timezone.utc)
+
+
+def _q_ts_filter(spark, sf_dir):
+    """Ingest-timestamp range pruning (TimestampRangeIterator analog)."""
+    from geomesa_spark.plans.compiler import timestamp_range_filter
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return timestamp_range_filter(ev, "ts", _TS_LO, _TS_HI).select("event_id")
+
+
 _RASTER_BBOX = (-30.005, -20.005, 40.005, 35.005)
 
 
@@ -1004,6 +1067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_idl": _q_bbox_idl,
         "density_wkt": _q_density_wkt,
         "geojson_roundtrip": _q_geojson_roundtrip,
+        "gml_roundtrip": _q_gml_roundtrip,
+        "bin_pack": _q_bin_pack,
+        "convert_fixedwidth": _q_convert_fixedwidth,
+        "ts_filter": _q_ts_filter,
         "raster_query": _q_raster_query,
         "mosaic": _q_mosaic,
         "text_quality": _q_text_quality,
@@ -1540,6 +1607,23 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": f"""
             WITH {_PTS_CTE}
             SELECT event_id, lon AS gj_lon, lat AS gj_lat FROM pts
+        """,
+        "gml_roundtrip": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id, lon AS gml_lon, lat AS gml_lat FROM pts
+        """,
+        "bin_pack": """
+            SELECT event_type AS track, CAST(count(*) AS BIGINT) AS n,
+                   CAST(16 AS INTEGER) AS record_width
+            FROM events GROUP BY event_type
+        """,
+        "convert_fixedwidth": """
+            SELECT event_id, user_id, event_type FROM events
+        """,
+        "ts_filter": f"""
+            SELECT event_id FROM events
+            WHERE ts BETWEEN TIMESTAMP '{_TS_LO.strftime("%Y-%m-%d %H:%M:%S")}'
+                         AND TIMESTAMP '{_TS_HI.strftime("%Y-%m-%d %H:%M:%S")}'
         """,
         "raster_query": _raster_query_oracle(),
         "replay": f"""

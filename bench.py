@@ -309,7 +309,8 @@ def _time_queries(spark) -> dict[str, float]:
         "minhash_lsh", "simhash", "ngram_jaccard", "ann_cosine", "ann_lsh", "ann_ivf", "embed_dedup",
         "text_quality", "lang_id", "fingerprint", "extract_text",
         "convert_delimited", "convert_avro", "vis_filter", "transform_project", "dms_parse",
-        "geojson_roundtrip", "replay", "map_agg_json", "media_features",
+        "geojson_roundtrip", "gml_roundtrip", "bin_pack", "convert_fixedwidth",
+        "ts_filter", "replay", "map_agg_json", "media_features",
         "frame_sample",
     ]
     qs = entrymod.queries()
