@@ -670,3 +670,32 @@ def test_mosaic_geo_tiles_fanout(spark):
     ne_px = list(ne["mosaic"])
     assert any(v in (91, 92, 93, 94) for v in ne_px)
     assert ne_px[3] == 0  # east of chunk 9's extent stays empty
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation: shard salt spreads a hot cell
+# ---------------------------------------------------------------------------
+
+
+def test_layout_shard_salt_spreads_hot_cell(spark, tmp_path):
+    """Every row at ONE location (one z-cell — the Accumulo hot-tablet
+    case): the shard salt must spread the write across ~n_shards partitions
+    instead of funneling one hot range (QueryPlanners.scala:399-407
+    pre-split sharding analog)."""
+    from datetime import datetime, timezone
+
+    from geomesa_spark.sources.layout import enrich_geo
+
+    rows = [(str(i), 12.345, 45.678,
+             datetime(2020, 3, 1, 12, tzinfo=timezone.utc))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id string, lon double, lat double, dtg timestamp")
+    enriched = enrich_geo(df, lon="lon", lat="lat", dtg="dtg", fid="id",
+                          n_shards=16, engine="expr")
+    # same z-cell for every row (it IS a hot cell)
+    assert enriched.select("z3").distinct().count() == 1
+    shard_counts = {r["shard"]: r["n"] for r in
+                    enriched.groupBy("shard").count().withColumnRenamed("count", "n").collect()}
+    # all 16 shards used, and no shard hoards the hot cell
+    assert len(shard_counts) == 16
+    assert max(shard_counts.values()) < 2000 * 0.25
