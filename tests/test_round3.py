@@ -699,3 +699,33 @@ def test_layout_shard_salt_spreads_hot_cell(spark, tmp_path):
     # all 16 shards used, and no shard hoards the hot cell
     assert len(shard_counts) == 16
     assert max(shard_counts.values()) < 2000 * 0.25
+
+
+# ---------------------------------------------------------------------------
+# session-timezone robustness: entries must force UTC themselves
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["bbox_time", "ts_filter", "temporal_density", "replay"])
+def test_timestamp_queries_ignore_driver_session_timezone(spark, sf_dir, name):
+    """The driver hands entries ITS SparkSession, whose timeZone may be
+    anything (Spark defaults to the JVM zone). Parquet timestamps load as
+    TIMESTAMP_NTZ in Spark 4, so a non-UTC session silently shifts epoch
+    arithmetic unless the entry pins UTC itself (_utc in __spark_entry__).
+    Run each timestamp-sensitive query under UTC and under a skewed zone:
+    row sets must be identical."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        want = sorted(map(str, q(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = sorted(map(str, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert got == want
