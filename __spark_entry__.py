@@ -47,7 +47,13 @@ from geomesa_spark.operators.tiling import tile_counts, tile_rollup
 from geomesa_spark.operators.tube import tube_select
 from geomesa_spark.plans.compiler import GeoTable, query
 from geomesa_spark.sources.layout import as_geotable
-from geomesa_spark.sources.webpages import extract_text, geoparse, webpages_from_documents
+from geomesa_spark.functions.urls import canonicalize_url, domain_stats, url_dedup
+from geomesa_spark.sources.webpages import (
+    extract_text,
+    geoparse,
+    raw_url_expr,
+    webpages_from_documents,
+)
 
 # ---------------------------------------------------------------------------
 # shared fixtures (deterministic, embedded in both engines)
@@ -1013,6 +1019,35 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(_utc(spark), sf_dir), "text", "doc_id")
 
 
+def _url_pages(spark, sf_dir):
+    """Crawl-surface url table: documents + deterministic messy urls
+    (sources.webpages.raw_url_expr) + integer crawl second. Pure codegen;
+    the DuckDB oracle rebuilds the same table arithmetically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    return docs.select(
+        did,
+        raw_url_expr(did).alias("url"),
+        ((did * 97) % 31_536_000).cast("long").alias("warc_sec"),
+        F.col("n_chars"),
+    )
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    p = _url_pages(_utc(spark), sf_dir)
+    return p.select("doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url"))
+
+
+def _q_url_dedup(spark, sf_dir):
+    p = _url_pages(_utc(spark), sf_dir)
+    return url_dedup(p, url_col="url", ts_col="warc_sec", id_col="doc_id")
+
+
+def _q_domain_stats(spark, sf_dir):
+    p = _url_pages(_utc(spark), sf_dir)
+    return domain_stats(p, url_col="url", size_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -1076,6 +1111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedup": _q_url_dedup,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -1296,6 +1334,69 @@ def _raster_query_oracle() -> str:
           AND c_lon_min <= {b[2]!r} AND c_lon_max >= {b[0]!r}
           AND c_lat_min <= {b[3]!r} AND c_lat_max >= {b[1]!r}
     """
+
+
+# DuckDB twin of (_url_pages -> functions.urls.canonicalize_url): rebuilds
+# the deterministic messy urls from doc_id, then canonicalizes them with
+# regexp components + list_filter/list_sort mirroring the Spark expression
+# tree step for step.
+_URL_CANON_CTE = r"""
+    WITH p AS (
+      SELECT doc_id, doc_id // 3 AS g,
+             CAST((doc_id * 97) % 31536000 AS BIGINT) AS warc_sec,
+             n_chars
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, warc_sec, n_chars,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 2 = 0 THEN printf('Site%d.Example', g % 997)
+                 ELSE printf('site%d.example', g % 997) END)
+        || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        || printf('/page/%d', g)
+        || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+                 THEN printf('?b=%d&utm_campaign=c%d&a=%d', g % 4, doc_id % 7, g % 2)
+                 ELSE printf('?a=%d&b=%d&fbclid=f%d', g % 2, g % 4, doc_id) END)
+        || (CASE WHEN doc_id % 4 = 1 THEN printf('#sec%d', doc_id) ELSE '' END)
+        AS url
+      FROM p
+    ),
+    parts AS (
+      SELECT *,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM u
+    ),
+    hp AS (
+      SELECT *,
+        lower(split_part(hostport, ':', 1)) AS host,
+        CASE WHEN hostport LIKE '%:%' THEN split_part(hostport, ':', 2)
+             ELSE '' END AS port
+      FROM parts
+    ),
+    norm AS (
+      SELECT *,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END AS port_part,
+        CASE WHEN regexp_replace(raw_path, '/$', '') = '' THEN '/'
+             ELSE regexp_replace(raw_path, '/$', '') END AS path,
+        list_sort(list_filter(string_split(query, '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))) AS params
+      FROM hp
+    ),
+    canon AS (
+      SELECT doc_id, url, warc_sec, n_chars, host,
+        scheme || '://' || host || port_part || path ||
+        CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+             ELSE '' END AS canonical_url
+      FROM norm
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1748,4 +1849,27 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_oracle(),
         "media_features": _media_features_oracle(),
         "frame_sample": _frame_sample_oracle(),
+        "url_canonicalize": _URL_CANON_CTE + """
+            SELECT doc_id, url, canonical_url FROM canon
+        """,
+        "url_dedup": _URL_CANON_CTE + """
+            , d AS (
+              SELECT canonical_url, doc_id, warc_sec,
+                     row_number() OVER (PARTITION BY canonical_url
+                                        ORDER BY warc_sec DESC, doc_id DESC) AS rn,
+                     count(*) OVER (PARTITION BY canonical_url) AS nd,
+                     max(warc_sec) OVER (PARTITION BY canonical_url) AS max_ts
+              FROM canon
+            )
+            SELECT canonical_url, doc_id, max_ts AS warc_sec,
+                   CAST(nd AS BIGINT) AS n_dups
+            FROM d WHERE rn = 1
+        """,
+        "domain_stats": _URL_CANON_CTE + """
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+                   CAST(sum(n_chars) AS BIGINT) AS total_bytes
+            FROM canon GROUP BY host
+        """,
     }

@@ -48,6 +48,38 @@ def _warc_ts_expr(doc_id: Column) -> Column:
     )
 
 
+def raw_url_expr(doc_id: Column) -> Column:
+    """Crawl-surface url for a doc: the SAME page (group ``doc_id // 3``)
+    appears under deterministic surface variants — mixed-case scheme/host,
+    explicit default port, trailing slash, fragment, tracking params, and
+    shuffled param order. ``functions.urls.canonicalize_url`` maps all
+    three members of a group to one canonical form; every branch below is
+    integer arithmetic on ``doc_id`` so a DuckDB oracle rebuilds the urls
+    bit-for-bit (FIXTURES.md F1 style).
+
+    Canonical target: ``https://site{g%997}.example/page/{g}?a={g%2}&b={g%4}``
+    for ``g = doc_id // 3``.
+    """
+    d = doc_id
+    g = F.floor(d / 3).cast("long")
+    h = g % 997
+    scheme = F.when(d % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://"))
+    host = F.when(d % 2 == 0, F.format_string("Site%d.Example", h)).otherwise(
+        F.format_string("site%d.example", h)
+    )
+    port = F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.format_string("/page/%d", g),
+        F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        d % 2 == 0,
+        F.format_string("?b=%d&utm_campaign=c%d&a=%d", g % 4, d % 7, g % 2),
+    ).otherwise(F.format_string("?a=%d&b=%d&fbclid=f%d", g % 2, g % 4, d))
+    frag = F.when(d % 4 == 1, F.format_string("#sec%d", d)).otherwise(F.lit(""))
+    return F.concat(scheme, host, port, path, query, frag)
+
+
 def _html_expr(doc_id: Column, text: Column) -> Column:
     page = F.concat(
         F.lit("<html><head><title>doc"),

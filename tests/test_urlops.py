@@ -1,0 +1,143 @@
+"""URL canonicalization / dedup / domain-stats (functions/urls.py).
+
+The canonicalizer is a single codegen expression tree; these tests pin its
+contract on literal edge cases, prove idempotence, and check the two
+operators built on it. The driver oracle (`url_canonicalize`, `url_dedup`,
+`domain_stats`) hash-verifies the same chain against an independent DuckDB
+implementation; here we also cover inputs the deterministic generator
+never produces (weird ports, ref params, root paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions.urls import (
+    canonicalize_url,
+    domain_stats,
+    url_dedup,
+    url_host,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("https://Example.COM/path/", "https://example.com/path"),
+    ("HTTP://example.com:80/a?x=1", "http://example.com/a?x=1"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8080/a", "https://example.com:8080/a"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    ("https://example.com/a?utm_source=x&b=2&a=1#frag", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/a?fbclid=z", "https://example.com/a"),
+    ("https://example.com/a?gclid=1&msclkid=2&ref=hn", "https://example.com/a"),
+    ("https://example.com/a?b=2&&a=1", "https://example.com/a?a=1&b=2"),
+    # "ref=" is tracking but "referrer=" (different key) is not
+    ("https://example.com/a?referrer=x", "https://example.com/a?referrer=x"),
+    # deep path keeps interior slashes, loses only the trailing one
+    ("https://example.com/a/b/c/", "https://example.com/a/b/c"),
+]
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in
+            df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalize_literal_cases(spark):
+    got = _canon(spark, [raw for raw, _ in CASES])
+    for (raw, want), g in zip(CASES, got):
+        assert g == want, f"{raw!r}: got {g!r}, want {want!r}"
+
+
+def test_canonicalize_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the form is a fixpoint."""
+    once = _canon(spark, [raw for raw, _ in CASES])
+    twice = _canon(spark, once)
+    assert twice == once
+
+
+def test_canonicalize_is_codegen_only(spark):
+    """No python/pandas stage: the plan must not contain any UDF eval."""
+    df = spark.range(100).select(
+        canonicalize_url(F.format_string("https://S%d.Ex/p/%d/?utm_a=1&z=%d", F.col("id") % 7, F.col("id"), F.col("id") % 3)).alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_raw_url_groups_collapse(spark):
+    """All three surface variants of a page group canonicalize to the same
+    url, and distinct groups never collide."""
+    from geomesa_spark.sources.webpages import raw_url_expr
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        raw_url_expr(F.col("id")).alias("url"),
+    )
+    c = df.select(
+        F.floor(F.col("doc_id") / 3).alias("g"),
+        canonicalize_url(F.col("url")).alias("c"),
+    )
+    per_group = c.groupBy("g").agg(F.count_distinct("c").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_group)
+    assert c.select("c").distinct().count() == 100
+
+
+def test_url_dedup_latest_crawl_wins(spark):
+    rows = [
+        (1, "https://a.com/x?utm_source=m", 100),
+        (2, "https://A.com/x/", 300),          # same page, later crawl
+        (3, "https://a.com:443/x", 200),       # same page, middle crawl
+        (4, "https://a.com/y", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts long")
+    out = {r["canonical_url"]: (r["doc_id"], r["ts"], r["n_dups"])
+           for r in url_dedup(df, "url", "ts", "doc_id").collect()}
+    assert out == {
+        "https://a.com/x": (2, 300, 3),
+        "https://a.com/y": (4, 50, 1),
+    }
+
+
+def test_url_dedup_ts_tie_breaks_by_id(spark):
+    rows = [(7, "https://a.com/x", 100), (9, "https://a.com/x#f", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts long")
+    [r] = url_dedup(df, "url", "ts", "doc_id").collect()
+    assert (r["doc_id"], r["n_dups"]) == (9, 2)
+
+
+def test_domain_stats_counts_and_bytes(spark):
+    rows = [
+        (1, "https://a.com/x?utm_source=1", 10),
+        (2, "https://A.COM/x/", 20),            # same canonical as 1
+        (3, "https://a.com/y", 30),
+        (4, "https://b.org/z", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, nb long")
+    out = {r["host"]: (r["n_pages"], r["n_canonical"], r["total_bytes"])
+           for r in domain_stats(df, "url", size_col="nb").collect()}
+    assert out == {"a.com": (3, 2, 60), "b.org": (1, 1, 5)}
+
+
+def test_domain_stats_approx_mode_close(spark):
+    """approx=True (the 10^12-row path) uses HLL; on 200 distinct pages it
+    must land within the standard ~5% error of exact."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("https://h%d.example/p/%d", F.col("id") % 4, F.col("id")).alias("url"),
+    )
+    exact = {r["host"]: r["n_canonical"]
+             for r in domain_stats(df, "url").collect()}
+    approx = {r["host"]: r["n_canonical"]
+              for r in domain_stats(df, "url", approx=True).collect()}
+    assert set(exact) == set(approx)
+    for h, n in exact.items():
+        assert abs(approx[h] - n) <= max(2, int(0.1 * n))
+
+
+def test_url_host_on_bare_hostport(spark):
+    df = spark.createDataFrame(
+        [("https://A.com:8080/p",), ("http://b.com/q",)], "url string")
+    got = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == ["a.com", "b.com"]
