@@ -1048,6 +1048,36 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(p, url_col="url", size_col="n_chars")
 
 
+def _q_sessionize(spark, sf_dir):
+    from geomesa_spark.operators.sessions import session_rollup
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return session_rollup(ev, "user_id", "ts", "event_id", gap_s=1800)
+
+
+def _q_sample_stratified(spark, sf_dir):
+    from geomesa_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "lang", quota=60, id_col="doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_descriptive_stats(spark, sf_dir):
+    from geomesa_spark.operators.corpus import descriptive_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return descriptive_stats(ev, "event_type", "value", scale=1000)
+
+
+def _q_topk_tokens(spark, sf_dir):
+    from geomesa_spark.operators.corpus import topk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return topk_tokens(docs, "text", k=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -1114,6 +1144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
+        "sessionize": _q_sessionize,
+        "sample_stratified": _q_sample_stratified,
+        "descriptive_stats": _q_descriptive_stats,
+        "topk_tokens": _q_topk_tokens,
     }
 
 
@@ -1871,5 +1905,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
                    CAST(sum(n_chars) AS BIGINT) AS total_bytes
             FROM canon GROUP BY host
+        """,
+        # twin of operators.sessions.session_rollup: same (ts_sec, event_id)
+        # ordering, same gap boundary, same rollup
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+              FROM events
+            ),
+            s AS (
+              SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                               OR ts_sec - lag(ts_sec) OVER w > 1800
+                             THEN 1 ELSE 0 END AS b
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+            ),
+            x AS (
+              SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM s
+            )
+            SELECT user_id AS entity, CAST(session_idx AS BIGINT) AS session_idx,
+                   min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                   max(ts_sec) - min(ts_sec) AS duration_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM x GROUP BY entity, session_idx
+        """,
+        # twin of operators.corpus.stratified_sample: two Lehmer rounds on
+        # doc_id, threshold quota/count per lang
+        "sample_stratified": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN c USING (lang)
+            WHERE ((d.doc_id * 48271) % 2147483647 * 48271 % 2147483647)
+                  / 2147483647.0 < least(1.0, 60.0 / c.n)
+        """,
+        # twin of operators.corpus.descriptive_stats: exact fixed-point
+        # integer sums, then the identical double-op derivation
+        "descriptive_stats": """
+            WITH v AS (
+              SELECT event_type AS grp, value,
+                     CAST(floor(value * 1000) AS HUGEINT) AS vv
+              FROM events
+            )
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS vmin, max(value) AS vmax,
+                   CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000
+                     AS mean,
+                   CASE WHEN count(*) > 1 THEN
+                     sqrt((CAST(sum(vv * vv) AS DOUBLE)
+                           - CAST(sum(vv) AS DOUBLE) * CAST(sum(vv) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE))
+                          / (CAST(count(*) AS DOUBLE) - 1.0)) / 1000
+                   END AS std
+            FROM v GROUP BY grp
+        """,
+        # twin of operators.corpus.topk_tokens: k=40, ties on token bytes
+        "topk_tokens": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                    AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 40
         """,
     }

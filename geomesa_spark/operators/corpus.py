@@ -1,0 +1,141 @@
+"""Corpus curation operators: deterministic sampling, stratified quota
+sampling, exact descriptive statistics, and heavy-hitter token counts.
+
+These are the training-data-pipeline ops a 10^12-document corpus needs
+between ingest and dedup: thin the corpus reproducibly (uniform or
+per-stratum quotas), profile numeric columns, and build the head of the
+vocabulary. The reference's nearest analogs are the per-tablet partial
+aggregates (``ACC/iterators/AggregatingKeyIterator.scala``,
+``UniqueAttributeIterator.scala``) and the cardinality hints of
+``UTL/stats/Cardinality.scala``; everything here is the Spark-native
+partial+final hash-aggregate shape with NO window sorts and NO Python —
+every expression is whole-stage codegen and has an exact DuckDB twin.
+
+Determinism contract: sampling uses a two-round Lehmer permutation on the
+row id (MINSTD, modulus 2^31-1), not ``rand()`` — the kept set is a pure
+function of the id, so re-runs, retries, and the driver oracle all agree
+bit-for-bit. ``id * 48271`` stays under 2^63 for ids up to ~1.9e14, so the
+arithmetic never overflows a BIGINT at the 10^12-row target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MINSTD_A = 48271
+_MINSTD_M = 2147483647  # 2^31 - 1
+
+
+def hash_frac(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform [0, 1) fraction from an integer id.
+
+    Two Lehmer rounds decorrelate sequential ids (one round of an LCG maps
+    consecutive seeds to a fixed stride). Exactly reproducible in any
+    engine with 64-bit integer arithmetic.
+    """
+    h1 = ((id_col + F.lit(salt)) * _MINSTD_A) % _MINSTD_M
+    h2 = (h1 * _MINSTD_A) % _MINSTD_M
+    return h2.cast("double") / F.lit(float(_MINSTD_M))
+
+
+def sample_uniform(
+    df: DataFrame, id_col: str, rate: float, salt: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen deterministically by id.
+
+    One codegen filter on the scan — no shuffle, no state; the sample is
+    stable under retries and across engines (unlike ``df.sample``, whose
+    kept set depends on partitioning).
+    """
+    return df.filter(hash_frac(F.col(id_col), salt) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """~``quota`` rows per stratum (language, domain, source, ...), kept
+    deterministically.
+
+    Scale shape: pass 1 is a map-side-combined count per stratum (output =
+    #strata rows, broadcast back); pass 2 is a codegen filter
+    ``hash_frac(id) < quota/count``. NO per-stratum window rank — an exact
+    rank would total-order each stratum (one sort partition per language at
+    corpus scale); the hash threshold needs no sort, no skew handling, and
+    hits the quota within binomial noise (±sqrt(quota)).
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    p = F.least(F.lit(1.0), F.lit(float(quota)) / F.col("__n"))
+    keyed = df.join(F.broadcast(counts.select(strata_col, p.alias("__p"))), strata_col)
+    return keyed.filter(hash_frac(F.col(id_col), salt) < F.col("__p")).drop("__p")
+
+
+def descriptive_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group count/min/max/mean/sample-stddev, bit-reproducible.
+
+    Floating-point ``sum``/``stddev`` aggregates are partition-order
+    dependent; here the value is fixed-pointed (``floor(v * scale)``) and
+    summed as DECIMAL(38,0) — exact integer partials in any order — then
+    mean/variance derive from the exact sums in one fixed double-op
+    sequence, so two engines (or two cluster runs) agree to the last bit.
+    Mirrors the partial+final combine of
+    ``ACC/iterators/AggregatingKeyIterator.scala`` with Spark's map-side
+    hash aggregation.
+
+    Returns ``(group, n, vmin, vmax, mean, std)``; ``std`` is NULL for
+    singleton groups.
+    """
+    v = F.floor(F.col(value_col) * scale).cast("decimal(38,0)")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.min(F.col(value_col)).alias("vmin"),
+        F.max(F.col(value_col)).alias("vmax"),
+        F.sum(v).alias("__sv"),
+        F.sum(v * v).alias("__sv2"),
+    )
+    n = F.col("n").cast("double")
+    sv = F.col("__sv").cast("double")
+    sv2 = F.col("__sv2").cast("double")
+    mean = sv / n / scale
+    var_v = (sv2 - sv * sv / n) / (n - F.lit(1.0))
+    std = F.when(F.col("n") > 1, F.sqrt(var_v) / scale)
+    return agg.select("grp", "n", "vmin", "vmax", mean.alias("mean"), std.alias("std"))
+
+
+def topk_tokens(
+    df: DataFrame,
+    text_col: str,
+    k: int = 50,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` whitespace tokens by document frequency-weighted count —
+    the head of the corpus vocabulary (stopword discovery, gram-DF caps
+    for the dedup family, tokenizer seeding).
+
+    Scale shape: explode → ONE map-side-combined hash aggregate on the
+    token (partials shrink each partition to its distinct tokens before
+    the shuffle) → ``orderBy().limit(k)``, which Spark executes as
+    per-partition top-k + driver merge (TakeOrderedAndProject), never a
+    global sort. Ties break on the token bytes so the result is unique.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    tok = F.explode(F.split(t, r"\s+")).alias("token")
+    return (
+        df.select(tok)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
