@@ -1078,6 +1078,33 @@ def _q_topk_tokens(spark, sf_dir):
     return topk_tokens(docs, "text", k=40)
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """Build WARC/1.0 records from the pages table (codegen), pack them
+    into multi-record buffers, parse them back with the from-scratch WARC
+    parser, and emit per-record facts the oracle derives directly from
+    ``documents`` — matching proves the full build->pack->parse loop is
+    byte-exact."""
+    from geomesa_spark.sources.warc import parse_warc, warc_buffers, warc_record_expr
+
+    pages = webpages_from_documents(_utc(spark), sf_dir)
+    rec = warc_record_expr(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("text"),
+        F.format_string("%08x-0000-4000-8000-000000000000", F.col("doc_id")),
+    )
+    w = pages.select(
+        F.col("doc_id"), (F.col("doc_id") % 64).alias("bucket"), rec.alias("rec")
+    )
+    parsed = parse_warc(warc_buffers(w, "rec", "doc_id", "bucket"))
+    return parsed.select(
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -1148,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "descriptive_stats": _q_descriptive_stats,
         "topk_tokens": _q_topk_tokens,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 
@@ -1960,6 +1988,19 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(count(*) AS DOUBLE) - 1.0)) / 1000
                    END AS std
             FROM v GROUP BY grp
+        """,
+        # twin of _q_warc_roundtrip: derives each record's facts straight
+        # from documents — the Spark side must reproduce them through the
+        # WARC build->pack->parse loop byte-exactly
+        "warc_roundtrip": """
+            SELECT printf('https://site%d.example/%s/page/%d',
+                          doc_id % 1000, lang, doc_id) AS url,
+                   strftime(TIMESTAMP '2010-05-07 00:00:00'
+                            + ((doc_id * 97) % 31536000) * INTERVAL 1 SECOND,
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   md5(text) AS payload_md5,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         # twin of operators.corpus.topk_tokens: k=40, ties on token bytes
         "topk_tokens": r"""

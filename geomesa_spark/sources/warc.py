@@ -1,0 +1,213 @@
+"""WARC (ISO 28500) source: build, split, and parse Common-Crawl-style
+web-archive records.
+
+The reference ingests delimited/Avro feature files through its converter
+chain (``CNV/geomesa-convert-text/.../DelimitedTextConverter.scala``,
+``CNV/geomesa-convert-avro``); the web-scale twin of those container
+formats is WARC — the format Common Crawl actually ships. This module is
+a from-scratch parser of the public WARC/1.0 record layout (version line,
+CRLF header block, ``Content-Length``-delimited payload, CRLF CRLF record
+separator), plus a pure-codegen record *builder* so tests and the driver
+oracle can round-trip deterministically without external data.
+
+Scale shape:
+
+* The builder is one whole-stage-codegen string concat per row — records
+  materialize at parquet-scan speed, no Python.
+* The parser is the honest Python seam (a byte-format walk, same status
+  as ``sources/shapefile.py``): ``mapInPandas`` over buffers, one
+  decode pass per buffer, Arrow-batched in and out.
+* At corpus scale you never parse whole 1 GB WARC files as single rows:
+  :func:`read_warc_ranges` takes a table of ``(path, offset, length)``
+  byte ranges (Common Crawl publishes exactly this in its CDX index) and
+  reads+parses each range inside the task, so parallelism = #ranges and
+  no buffer exceeds a record group. Per-record gzip members (the Common
+  Crawl convention) are handled transparently.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_VERSION = "WARC/1.0"
+
+PARSED_SCHEMA = (
+    "target_uri string, warc_date string, warc_type string, "
+    "record_id string, payload binary"
+)
+
+
+# ---------------------------------------------------------------------------
+# builder (codegen)
+# ---------------------------------------------------------------------------
+
+def warc_record_expr(
+    url: Column,
+    ts: Column,
+    payload_text: Column,
+    record_id: Column,
+    warc_type: str = "response",
+    content_type: str = "text/html",
+) -> Column:
+    """One WARC/1.0 record as a string column (pure codegen concat).
+
+    ``Content-Length`` counts the payload's UTF-8 bytes
+    (``octet_length``), per spec. The builder emits text payloads (the
+    extracted-text path); the parser handles arbitrary bytes.
+    """
+    date = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return F.concat(
+        F.lit(WARC_VERSION + "\r\n"),
+        F.lit("WARC-Type: " + warc_type + "\r\n"),
+        F.lit("WARC-Record-ID: <urn:uuid:"), record_id, F.lit(">\r\n"),
+        F.lit("WARC-Date: "), date, F.lit("\r\n"),
+        F.lit("WARC-Target-URI: "), url, F.lit("\r\n"),
+        F.lit("Content-Type: " + content_type + "\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(payload_text).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload_text,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def warc_buffers(
+    df: DataFrame,
+    record_col: str,
+    order_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Pack records into multi-record buffers (one per bucket), ordered by
+    ``order_col`` inside each buffer — the shape of a real WARC file.
+
+    One hash aggregate (collect_list partials combine map-side); buffer
+    size is controlled by the caller's bucket granularity, so no bucket
+    need exceed a task's memory.
+    """
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                        F.col(record_col).alias("r")))
+            ),
+            lambda s: s["r"],
+        ),
+        "",
+    )
+    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        packed.alias("buf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# parser (python seam, mapInPandas)
+# ---------------------------------------------------------------------------
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plaintext (the Common
+    Crawl per-record-gzip convention)."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(buf[pos:]))
+        consumed = len(buf) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt gzip member in WARC buffer")
+        pos += consumed
+    return b"".join(out)
+
+
+def iter_warc_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Walk a buffer of concatenated WARC records, yielding
+    ``(header_fields, payload_bytes)`` per record."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = _gunzip_members(buf)
+    pos, n = 0, len(buf)
+    while pos < n:
+        while buf.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        head_end = buf.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"truncated WARC header at offset {pos}")
+        lines = buf[pos:head_end].decode("utf-8").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at offset {pos}: {lines[0]!r}")
+        fields: dict = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields["content-length"])
+        body_start = head_end + 4
+        if body_start + clen > n:
+            raise ValueError(f"truncated WARC payload at offset {pos}")
+        yield fields, buf[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def _rows_from_buffer(buf: bytes):
+    for fields, body in iter_warc_records(buf):
+        rid = fields.get("warc-record-id", "")
+        if rid.startswith("<urn:uuid:") and rid.endswith(">"):
+            rid = rid[len("<urn:uuid:"):-1]
+        yield (
+            fields.get("warc-target-uri", ""),
+            fields.get("warc-date", ""),
+            fields.get("warc-type", ""),
+            rid,
+            body,
+        )
+
+
+def parse_warc(df: DataFrame, buf_col: str = "buf") -> DataFrame:
+    """Buffers of concatenated (optionally per-record-gzipped) WARC
+    records -> one row per record.
+
+    ``mapInPandas`` streams Arrow batches of buffers through the byte
+    walk; output columns: ``target_uri, warc_date, warc_type, record_id,
+    payload``.
+    """
+    cols = ["target_uri", "warc_date", "warc_type", "record_id", "payload"]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[buf_col]:
+                buf = raw.encode("utf-8") if isinstance(raw, str) else bytes(raw)
+                rows.extend(_rows_from_buffer(buf))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(buf_col).mapInPandas(parse, PARSED_SCHEMA)
+
+
+def read_warc_ranges(ranges: DataFrame) -> DataFrame:
+    """CDX-style ranged read: ``(path, offset, length)`` -> parsed records.
+
+    Each task opens its file, seeks to the range, and parses only those
+    bytes — the Common-Crawl access pattern (the CDX index maps every
+    record to a (warc, offset, length) triple), so a 10^12-record corpus
+    parallelizes by range with no full-file buffering. Paths resolve
+    through the local/posix filesystem here; on a cluster the same code
+    runs against a fuse/NFS mount, or the open() swaps for an
+    object-store client.
+    """
+    cols = ["target_uri", "warc_date", "warc_type", "record_id", "payload"]
+
+    def rd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, off, length in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                with open(path, "rb") as f:
+                    f.seek(int(off))
+                    buf = f.read(int(length))
+                rows.extend(_rows_from_buffer(buf))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ranges.select("path", "offset", "length").mapInPandas(rd, PARSED_SCHEMA)
