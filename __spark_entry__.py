@@ -1105,6 +1105,18 @@ def _q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def _q_arrow_roundtrip(spark, sf_dir):
+    """Export documents as self-contained Arrow IPC chunks and read them
+    back — matching the plain table scan proves the export is lossless."""
+    from geomesa_spark.sources.arrow_io import from_arrow_ipc, to_arrow_ipc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    chunks = to_arrow_ipc(docs, max_rows_per_chunk=128)
+    return from_arrow_ipc(chunks, "doc_id long, lang string, n_chars long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -1176,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descriptive_stats": _q_descriptive_stats,
         "topk_tokens": _q_topk_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
+        "arrow_roundtrip": _q_arrow_roundtrip,
     }
 
 
@@ -2001,6 +2014,11 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        # twin of _q_arrow_roundtrip: the IPC export/import loop must be
+        # the identity on the scanned columns
+        "arrow_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         # twin of operators.corpus.topk_tokens: k=40, ties on token bytes
         "topk_tokens": r"""
