@@ -1117,6 +1117,23 @@ def _q_arrow_roundtrip(spark, sf_dir):
     return from_arrow_ipc(chunks, "doc_id long, lang string, n_chars long")
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Connected components over a deterministic chain graph (doc i ~ i+1
+    within 50-blocks): the oracle knows the closed-form component minimum,
+    the engine has to discover it through the large-star/small-star
+    rounds — long chains are the worst case for label propagation."""
+    from geomesa_spark.operators.components import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"))
+    pairs = (
+        docs.join(nxt, "doc_id")  # doc_id+1 exists
+        .filter(F.col("doc_id") % 50 != 49)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    )
+    return connected_components(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -1189,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tokens": _q_topk_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
         "arrow_roundtrip": _q_arrow_roundtrip,
+        "dedup_components": _q_dedup_components,
     }
 
 
@@ -2019,6 +2037,17 @@ def oracle_sql() -> dict[str, str]:
         # the identity on the scanned columns
         "arrow_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # twin of _q_dedup_components: doc_ids are contiguous, so the
+        # component minimum of each 50-chain has the closed form n - n%50
+        "dedup_components": """
+            WITH e AS (
+              SELECT d1.doc_id AS a, d1.doc_id + 1 AS b
+              FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+              WHERE d1.doc_id % 50 <> 49
+            ),
+            nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e)
+            SELECT n AS node, n - (n % 50) AS component FROM nodes
         """,
         # twin of operators.corpus.topk_tokens: k=40, ties on token bytes
         "topk_tokens": r"""

@@ -312,6 +312,9 @@ def _time_queries(spark) -> dict[str, float]:
         "geojson_roundtrip", "gml_roundtrip", "bin_pack", "convert_fixedwidth",
         "ts_filter", "replay", "map_agg_json", "media_features",
         "frame_sample",
+        "url_canonicalize", "url_dedup", "domain_stats", "sessionize",
+        "sample_stratified", "descriptive_stats", "topk_tokens",
+        "warc_roundtrip", "arrow_roundtrip", "dedup_components",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
