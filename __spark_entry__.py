@@ -1134,6 +1134,30 @@ def _q_dedup_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+_SQL_BOX = "POLYGON ((0.005 0.005, 40.005 0.005, 40.005 30.005, 0.005 30.005, 0.005 0.005))"
+
+
+def _q_sql_functions(spark, sf_dir):
+    """The registered st_* SQL surface driving a plain spark.sql query.
+    Distances stay internal (numpy vs libm trig can differ in the last
+    ulp); the emitted columns are booleans with fixture thresholds far
+    from any boundary, exact tile ids, and an exact WKT float roundtrip."""
+    from geomesa_spark.functions.sqlfns import register_sql_functions
+
+    register_sql_functions(spark)
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
+    geoparse(ev, "event_id").createOrReplaceTempView("sqlfns_pts")
+    return spark.sql(f"""
+        SELECT event_id,
+               st_tile_id(lon, lat, 8) AS tid,
+               st_contains('{_SQL_BOX}', st_point(lon, lat)) AS inside,
+               st_within(st_point(lon, lat), '{_SQL_BOX}') AS within_ok,
+               st_x(st_point(lon, lat)) AS x,
+               st_dwithin(st_point(lon, lat), 'POINT (10 20)', 2000000) AS near
+        FROM sqlfns_pts
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -1207,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "arrow_roundtrip": _q_arrow_roundtrip,
         "dedup_components": _q_dedup_components,
+        "sql_functions": _q_sql_functions,
     }
 
 
@@ -2037,6 +2062,26 @@ def oracle_sql() -> dict[str, str]:
         # the identity on the scanned columns
         "arrow_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # twin of _q_sql_functions: tile arithmetic + strict box tests
+        # (fixture corners at .005 keep hundredth-grid points off every
+        # boundary) + haversine threshold mirroring geom/kernels.py::
+        # haversine_m operation order
+        "sql_functions": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id,
+                   8 * 4503599627370496
+                   + least(255, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT))) * 67108864
+                   + least(255, greatest(0, CAST(floor((90.0 - lat) / 180.0 * 256.0) AS BIGINT))) AS tid,
+                   (lon > 0.005 AND lon < 40.005 AND lat > 0.005 AND lat < 30.005) AS inside,
+                   (lon > 0.005 AND lon < 40.005 AND lat > 0.005 AND lat < 30.005) AS within_ok,
+                   lon AS x,
+                   (2.0 * 6371008.8 * asin(sqrt(least(1.0, greatest(0.0,
+                      pow(sin((radians(20.0) - radians(lat)) / 2.0), 2)
+                      + cos(radians(lat)) * cos(radians(20.0))
+                        * pow(sin((radians(10.0) - radians(lon)) / 2.0), 2)))))
+                    <= 2000000.0) AS near
+            FROM pts
         """,
         # twin of _q_dedup_components: doc_ids are contiguous, so the
         # component minimum of each 50-chain has the closed form n - n%50
