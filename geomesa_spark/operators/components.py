@@ -93,7 +93,10 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
     for _ in range(max_iter):
         ls = _large_star(edges)
-        nxt = _small_star(ls).localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence check below is the action that
+        # materializes it, so each round costs ONE job (materialize+diff
+        # fused), and the lineage still truncates
+        nxt = _small_star(ls).localCheckpoint(eager=False)
         # fixpoint: the canonical edge sets are identical
         changed = (
             nxt.union(edges).groupBy("u", "v").agg(F.count("*").alias("c"))
