@@ -243,6 +243,27 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from geomesa_spark.sources.layout import compact_layout
+
+    spark = _session(args)
+    schema = _load_schema(args.catalog, args.name)
+    data = os.path.join(_table_dir(args.catalog, args.name), "data")
+    compact_layout(
+        spark,
+        data,
+        lon=schema["lon"],
+        lat=schema["lat"],
+        dtg=schema.get("dtg"),
+        fid=schema.get("fid"),
+        target_partitions=args.target_partitions,
+        attr_indexes=schema.get("attr_indexes") or [],
+        st_copy=bool(schema.get("st_copy")),
+    )
+    print(f"compacted {args.name}")
+    return 0
+
+
 def cmd_query_stats(args) -> int:
     p = os.path.join(args.catalog, "_meta", "query_stats.jsonl")
     if not os.path.exists(p):
@@ -333,6 +354,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cql", required=True)
     p.add_argument("--plan", action="store_true", help="print the physical plan")
     p.set_defaults(fn=cmd_explain)
+
+    p = sub.add_parser("compact", help="rewrite a layout at new file granularity")
+    common(p, data=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--target-partitions", type=int, default=None)
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("querystats", help="print the query audit log")
     common(p)

@@ -132,6 +132,63 @@ def write_layout(
         fh.write("ok\n")
 
 
+def compact_layout(
+    spark: SparkSession,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    dtg: str | None = "dtg",
+    fid: str | None = "id",
+    n_shards: int = 16,
+    target_partitions: int | None = None,
+    attr_indexes: list[str] | None = None,
+    st_copy: bool = False,
+) -> None:
+    """Rewrite a layout at a new file granularity (merge small files,
+    restore the z-sort) — the maintenance pass every long-lived layout
+    needs after incremental ingests.
+
+    Mirrors Accumulo's background major compaction (the reference's tables
+    rely on it to merge minor-compaction files and keep key-ranges
+    scannable; ``TLS/commands/TableConfCommand.scala`` exposes the knobs).
+    Implementation: re-run the layout writer on the current rows into a
+    sibling directory, then swap directories — readers gating on
+    ``_LAYOUT_SUCCESS`` never observe a half-written layout. On an object
+    store with a table format the swap is the metadata commit
+    (rewrite-files); on a filesystem it's two renames.
+
+    All derived key columns are recomputed (deterministic expressions), so
+    a compaction is also an upgrade path when the key derivation gains
+    columns.
+    """
+    import os
+    import shutil
+
+    if not os.path.exists(os.path.join(path, "_LAYOUT_SUCCESS")):
+        raise ValueError(f"not a complete layout: {path}")
+    df = spark.read.parquet(path)
+    base = [c for c in df.columns if c not in ("week", "z3", "z2", "shard")]
+    tmp = path.rstrip("/") + "__compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed compaction; rebuild
+    write_layout(
+        df.select(*base),
+        tmp,
+        lon=lon,
+        lat=lat,
+        dtg=dtg,
+        fid=fid,
+        n_shards=n_shards,
+        target_partitions=target_partitions,
+        attr_indexes=attr_indexes,
+        st_copy=st_copy,
+    )
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def read_layout(
     spark: SparkSession,
     path: str,
