@@ -141,3 +141,57 @@ def test_url_host_on_bare_hostport(spark):
         [("https://A.com:8080/p",), ("http://b.com/q",)], "url string")
     got = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
     assert got == ["a.com", "b.com"]
+
+
+# ---------------------------------------------------------------------------
+# property-based: arbitrary component-built urls (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label = st.text(alphabet="abcDEfgH01", min_size=1, max_size=6)
+_key = st.sampled_from(["a", "b", "zz", "utm_source", "utm_campaign",
+                        "fbclid", "gclid", "ref", "referrer", "q1"])
+_val = st.text(alphabet="xy9", min_size=0, max_size=3)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtPs"]))
+    host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(_label, min_size=0, max_size=3))
+    path = ("/" + "/".join(segs)) if segs else ""
+    if draw(st.booleans()) and path:
+        path += "/"
+    params = draw(st.lists(st.tuples(_key, _val), min_size=0, max_size=4))
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#x", "#sec1"]))
+    return f"{scheme}://{host}{port}{path}" + (f"?{query}" if query else "") + frag
+
+
+@settings(max_examples=12, deadline=None)
+@given(urls=st.lists(_urls(), min_size=1, max_size=24))
+def test_canonicalize_properties(spark, urls):
+    got = _canon(spark, urls)
+    # idempotence: the canonical form is a fixpoint
+    assert _canon(spark, got) == got
+    for raw, c in zip(urls, got):
+        scheme, rest = c.split("://", 1)
+        # scheme/host lowercased; fragment gone; tracking params gone
+        assert scheme == scheme.lower()
+        hostport = rest.split("/", 1)[0].split("?", 1)[0]
+        assert hostport == hostport.lower()
+        assert "#" not in c
+        for bad in ("utm_source=", "utm_campaign=", "fbclid=", "gclid="):
+            assert bad not in c
+        # "referrer" (not a tracking key) survives whenever raw had it
+        # with a non-empty pair, unless it was only in the fragment
+        # default ports never survive
+        assert not (scheme == "http" and hostport.endswith(":80"))
+        assert not (scheme == "https" and hostport.endswith(":443"))
+        # surviving params are sorted
+        if "?" in c:
+            ps = c.split("?", 1)[1].split("&")
+            assert ps == sorted(ps) and all(p for p in ps)
