@@ -639,7 +639,14 @@ def _q_ann_ivf(spark, sf_dir):
         # cost is the ingest side, not the query side)
         import os
 
-        cpath = os.path.join(_LAYOUT_CACHE, "ivf_planted_centroids.npy")
+        # cache key embeds the generator constants AND the train params —
+        # same discipline as _synth_planted_embeddings' parquet cache, so
+        # changing either never serves stale centroids
+        cpath = os.path.join(
+            _LAYOUT_CACHE,
+            f"ivf_planted_centroids_{_ANN_BASE}_{_ANN_QUERIES}_{_ANN_COPIES}"
+            f"_{_ANN_DIM}_c8_i2_s050.npy",
+        )
         if os.path.exists(cpath):
             cents = _np.load(cpath)
         else:
@@ -1485,7 +1492,7 @@ _URL_CANON_CTE = r"""
         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS hostport,
         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
-        regexp_extract(url, '\?([^#]*)', 1) AS query
+        regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
       FROM u
     ),
     hp AS (

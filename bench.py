@@ -39,7 +39,7 @@ Env knobs:
   BENCH_CONTROL_ROWS   control-job rows        (default 6.4B — sized so
                        parallel work dwarfs stage overhead; 3.2B measured
                        eff 0.69-0.74 from overhead alone, 6.4B 0.83-0.85)
-  BENCH_JOIN_SCALE_ROWS  synthetic join-scaling rows (default 12.8B; 0
+  BENCH_JOIN_SCALE_ROWS  synthetic join-scaling rows (default 1.6B; 0
                        disables the stage)
   BENCH_SKIP_SCALING   skip the LO session     (faster iteration)
 """

@@ -56,8 +56,13 @@ def url_path(url: Column) -> Column:
 
 
 def url_query(url: Column) -> Column:
-    """Query string after ``?`` (fragment excluded); empty when absent."""
-    return F.regexp_extract(url, r"\?([^#]*)", 1)
+    """Query string after the first pre-fragment ``?``; empty when absent.
+
+    The ``^[^#?]*`` anchor pins the FIRST ``?`` occurring before any
+    ``#`` — a bare ``\\?`` would also match a ``?`` inside the fragment
+    (``/p#frag?x=1``) and leak fragment text into the query.
+    """
+    return F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
 
 
 def canonicalize_url(url: Column) -> Column:

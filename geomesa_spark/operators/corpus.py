@@ -34,7 +34,11 @@ def hash_frac(id_col: Column, salt: int = 0) -> Column:
     consecutive seeds to a fixed stride). Exactly reproducible in any
     engine with 64-bit integer arithmetic.
     """
-    h1 = ((id_col + F.lit(salt)) * _MINSTD_A) % _MINSTD_M
+    # widen first: an INT id column would overflow at id*48271 > 2^31
+    # (an ANSI-mode abort, not a wrap) — the 1.9e14 headroom claim holds
+    # only in 64-bit arithmetic
+    x = id_col.cast("long")
+    h1 = ((x + F.lit(salt)) * _MINSTD_A) % _MINSTD_M
     h2 = (h1 * _MINSTD_A) % _MINSTD_M
     return h2.cast("double") / F.lit(float(_MINSTD_M))
 

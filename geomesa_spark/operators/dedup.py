@@ -90,6 +90,7 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
     bands: int = 16, shingle_words: int = 3, threshold: float = 0.5, seed: int = 42,
     bucket_cap: int = 100_000,
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -107,12 +108,27 @@ def minhash_lsh_pairs(
     Skew guard: a degenerate bucket of B near-identical docs would emit
     B^2/2 candidate rows. Buckets larger than ``bucket_cap`` switch to
     star-shape linking — every member pairs with the bucket's minimum id
-    only (O(B) rows). For dedup semantics (connected components / keep-one)
-    the star preserves the same components; only the redundant transitive
-    pairs are skipped.
+    only (O(B) rows).
+
+    Exact guarantee under the cap (the Jaccard-estimate filter runs on
+    every emitted pair): a pair is found iff it shares at least one
+    bucket of size <= cap, or verifies against an over-cap bucket's hub.
+    A pair whose EVERY shared band lands in an over-cap bucket and whose
+    members both miss the hub by the threshold is not emitted — that
+    residual is exactly the O(B^2) work the cap avoids. In practice an
+    over-cap MinHash bucket (>= ``bucket_cap`` docs sharing an identical
+    16-value band) is a near-identical template family whose members all
+    verify against the hub; raise ``bucket_cap`` or ``bands`` where that
+    assumption is too strong. (:func:`simhash_near_pairs` additionally
+    sub-splits its over-cap buckets because its 16-bit chunk space makes
+    them routine; MinHash's 64-bit band-hash space makes them rare.)
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_words, seed).persist()
+    sigs = (
+        precomputed_sigs
+        if precomputed_sigs is not None
+        else minhash_signatures(df, text_col, id_col, n_hashes, shingle_words, seed)
+    ).persist()
 
     band_cols = F.array(*[
         F.struct(
@@ -198,6 +214,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, seed: int = 42
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
     bucket_cap: int = 100_000,
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 63 bits into 4 chunks (pigeonhole:
     any pair within hamming distance 3 shares at least one exact chunk),
@@ -206,12 +223,29 @@ def simhash_near_pairs(
     Skew guard (same shape as :func:`minhash_lsh_pairs`): the 16-bit chunk
     values give only ~65k buckets per chunk, so at corpus scale the average
     bucket is huge and the self-join is O(B^2). Buckets larger than
-    ``bucket_cap`` switch to star-shape linking — each member pairs with the
-    bucket's minimum id only (O(B) rows); for dedup connected-components the
-    star preserves the same components and only skips redundant transitive
-    pairs. The exact hamming verify still runs on every emitted pair.
+    ``bucket_cap`` get two bounded treatments instead of the full self-join:
+
+    * **sub-split**: members re-bucket by every OTHER chunk of their own
+      signature, and sub-buckets up to ``bucket_cap`` self-join — any true
+      pair sharing a second chunk is found (costs one extra explode of the
+      over-cap rows only, no extra join: the signature is already in hand);
+    * **hub edges**: every member additionally pairs with the bucket's
+      minimum id, so a mega-bucket whose members really are near-identical
+      collapses into one connected component.
+
+    Exact guarantee (the hamming verify runs on every emitted pair): a
+    pair is found iff it shares (a) any bucket of size <= cap, or (b) a
+    sub-bucket of size <= cap inside an over-cap bucket, or (c) verifies
+    against an over-cap bucket's hub. A pair whose every shared chunk sits
+    in an over-cap bucket, shares no second chunk, and is far from each
+    hub is NOT emitted — recovering it is exactly the O(B^2) join the cap
+    exists to avoid. Raise ``bucket_cap`` to trade cost for that recall.
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = (
+        precomputed_sigs
+        if precomputed_sigs is not None
+        else simhash_signatures(df, text_col, id_col)
+    )
     chunks = F.array(*[
         F.struct(
             F.lit(i).alias("chunk"),
@@ -251,7 +285,38 @@ def simhash_near_pairs(
         "id_a", F.col(id_col).alias("id_b"), "sh_a", F.col("simhash").alias("sh_b")
     )
 
-    cand = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+    # sub-split of over-cap buckets: re-bucket by every other chunk of the
+    # member's own signature (no join — simhash is already on the row);
+    # sub-buckets <= cap self-join, recovering pairs that share >= 2 chunks
+    sub = big.withColumn("c2", F.explode(chunks)).filter(
+        F.col("c2.chunk") != F.col("chunk")
+    ).select(
+        F.col(id_col), "simhash", "chunk", "val",
+        F.col("c2.chunk").alias("chunk2"), F.col("c2.val").alias("val2"),
+    )
+    subkeyed = sub.withColumn(
+        "__sn", F.count("*").over(Window.partitionBy("chunk", "val", "chunk2", "val2"))
+    )
+    ss = subkeyed.filter((F.col("__sn") >= 2) & (F.col("__sn") <= bucket_cap)).drop("__sn")
+    sl, sr = ss.alias("sl"), ss.alias("sr")
+    cand_sub = sl.join(
+        sr,
+        (F.col("sl.chunk") == F.col("sr.chunk"))
+        & (F.col("sl.val") == F.col("sr.val"))
+        & (F.col("sl.chunk2") == F.col("sr.chunk2"))
+        & (F.col("sl.val2") == F.col("sr.val2"))
+        & (F.col(f"sl.{id_col}") < F.col(f"sr.{id_col}")),
+    ).select(
+        F.col(f"sl.{id_col}").alias("id_a"),
+        F.col(f"sr.{id_col}").alias("id_b"),
+        F.col("sl.simhash").alias("sh_a"),
+        F.col("sr.simhash").alias("sh_b"),
+    )
+
+    cand = (
+        cand_small.unionByName(cand_big).unionByName(cand_sub)
+        .dropDuplicates(["id_a", "id_b"])
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)

@@ -164,11 +164,22 @@ def compact_layout(
     import os
     import shutil
 
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # crash recovery, covering every window of the two-rename swap below:
+    # - crashed between the renames: path is gone, __old holds the intact
+    #   previous layout -> restore it and redo the compaction
+    # - crashed before rmtree(__old): path is the new layout -> just
+    #   discard the leftover
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
     if not os.path.exists(os.path.join(path, "_LAYOUT_SUCCESS")):
         raise ValueError(f"not a complete layout: {path}")
     df = spark.read.parquet(path)
     base = [c for c in df.columns if c not in ("week", "z3", "z2", "shard")]
-    tmp = path.rstrip("/") + "__compacting"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # leftover from a crashed compaction; rebuild
     write_layout(
@@ -183,7 +194,6 @@ def compact_layout(
         attr_indexes=attr_indexes,
         st_copy=st_copy,
     )
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -81,3 +81,21 @@ def test_cli_compact_command(spark, tmp_path, capsys):
     assert "compacted t" in capsys.readouterr().out
     assert len(_files(data)) < n_before
     assert spark.read.parquet(data).count() == 100
+
+
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    """Crash window: path renamed to __old but the new layout not yet
+    moved in. The next compaction must restore the intact __old layout
+    and proceed."""
+    path = str(tmp_path / "layout3")
+    write_layout(_pts(spark, 80), path, fid="id", target_partitions=8)
+    os.rename(path, path + "__old")  # simulate dying mid-swap
+    compact_layout(spark, path, fid="id", target_partitions=1)
+    assert not os.path.exists(path + "__old")
+    assert spark.read.parquet(path).count() == 80
+
+    # crash after the swap, before cleanup: __old AND path both complete
+    write_layout(_pts(spark, 30), path + "__old", fid="id")
+    compact_layout(spark, path, fid="id", target_partitions=1)
+    assert not os.path.exists(path + "__old")
+    assert spark.read.parquet(path).count() == 80  # current layout wins

@@ -103,3 +103,36 @@ def test_cc_from_minhash_pairs(spark):
         assert len({cc[m] for m in members}) == 1  # ...into ONE component
     # no cross-group merges
     assert len({cc[m] for m in cc}) >= 3 or len(cc) < 9
+
+
+def test_simhash_subsplit_recovers_pairs_in_mega_buckets(spark):
+    """Two docs (4,5) at hamming 1 sit in over-cap buckets on BOTH their
+    shared chunks, far from each hub. The star-link alone would lose the
+    pair (hub edges fail the hamming verify); the sub-split must recover
+    it via their shared (chunk0, chunk1) sub-bucket."""
+    from geomesa_spark.operators.dedup import simhash_near_pairs
+
+    def sig(c0, c1, c2, c3):
+        return c0 | (c1 << 16) | (c2 << 32) | (c3 << 48)
+
+    rows = [
+        # family A: 6 docs share chunk0=0x1111 (over cap=4); hub id0 far
+        (0, sig(0x1111, 0xAAAA, 0xAAAA, 0x2AAA)),
+        (1, sig(0x1111, 0x0001, 0x0011, 0x0111)),
+        (2, sig(0x1111, 0x0002, 0x0022, 0x0222)),
+        (3, sig(0x1111, 0x0003, 0x0033, 0x0333)),
+        (4, sig(0x1111, 0x2222, 0x3333, 0x0444)),   # X
+        (5, sig(0x1111, 0x2222, 0x3332, 0x0444)),   # Y = X with 1 bit off
+        # family B: 5 more docs make chunk1=0x2222 over cap too; hub id6 far
+        (6, sig(0x5555, 0x2222, 0x1555, 0x1555)),
+        (7, sig(0x0007, 0x2222, 0x0077, 0x0777)),
+        (8, sig(0x0008, 0x2222, 0x0088, 0x0888)),
+        (9, sig(0x0009, 0x2222, 0x0099, 0x0999)),
+        (10, sig(0x000A, 0x2222, 0x00AA, 0x0AAA)),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    dummy = sigs.select("doc_id", F.lit("x").alias("text"))
+    out = simhash_near_pairs(dummy, "text", "doc_id", max_hamming=3,
+                             bucket_cap=4, precomputed_sigs=sigs)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got == {(4, 5): 1}

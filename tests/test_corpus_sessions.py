@@ -191,3 +191,14 @@ def test_session_rollup_reuses_window_exchange(spark):
     df = _ev(spark, [(0, 1, "a"), (10, 1, "b"), (0, 2, "c")])
     plan = session_rollup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hash_frac_int_column_no_ansi_overflow(spark):
+    """An INT (32-bit) id column must not overflow at id*48271 under ANSI
+    mode — hash_frac widens to long first, and the fraction matches the
+    bigint computation exactly."""
+    ints = spark.range(44_000, 50_000).select(F.col("id").cast("int").alias("i"))
+    longs = spark.range(44_000, 50_000).select(F.col("id").alias("i"))
+    a = [r["h"] for r in ints.select(hash_frac(F.col("i")).alias("h")).collect()]
+    b = [r["h"] for r in longs.select(hash_frac(F.col("i")).alias("h")).collect()]
+    assert a == b

@@ -94,8 +94,42 @@ def test_intersects_polygon_vs_polygon(sqlspark):
 
 def test_contains_nonpoint_rhs_raises(sqlspark):
     a = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
-    with pytest.raises(Exception, match="POINT right-hand"):
+    with pytest.raises(Exception, match="contained side"):
         sqlspark.sql(f"SELECT st_contains('{a}', '{a}') AS v").collect()
+
+
+def test_intersects_point_lhs_symmetric(sqlspark):
+    """intersects must accept the point on EITHER side."""
+    box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert _one(sqlspark, f"st_intersects('POINT (5 5)', '{box}')") is True
+    assert _one(sqlspark, f"st_intersects('POINT (11 5)', '{box}')") is False
+    # point-point: coordinate equality
+    assert _one(sqlspark, "st_intersects('POINT (1 2)', 'POINT (1 2)')") is True
+    assert _one(sqlspark, "st_intersects('POINT (1 2)', 'POINT (1 3)')") is False
+
+
+def test_null_inputs_propagate_not_crash(sqlspark):
+    box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    df = sqlspark.createDataFrame(
+        [("POINT (5 5)",), (None,)], "p string")
+    df.createOrReplaceTempView("nulls_t")
+    rows = sqlspark.sql(
+        f"SELECT st_contains('{box}', p) AS c, st_intersects('{box}', p) AS i, "
+        f"st_x(p) AS x, st_dwithin(p, 'POINT (5 5)', 10.0D) AS d, "
+        f"st_point(st_x(p), st_y(p)) AS pt FROM nulls_t"
+    ).collect()
+    good, nul = rows
+    assert good["c"] is True and good["i"] is True and good["x"] == 5.0
+    assert nul["c"] is None and nul["i"] is None and nul["x"] is None
+    assert nul["d"] is None and nul["pt"] is None
+
+
+def test_geohash_level_must_be_literal(sqlspark):
+    df = sqlspark.createDataFrame([(1.0, 1.0, 5), (2.0, 2.0, 6)],
+                                  "lon double, lat double, p long").coalesce(1)
+    df.createOrReplaceTempView("varp_t")
+    with pytest.raises(Exception, match="literal"):
+        sqlspark.sql("SELECT st_geohash(lon, lat, p) AS g FROM varp_t").collect()
 
 
 def test_varying_polygon_column_grouped_kernel(sqlspark):

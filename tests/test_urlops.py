@@ -195,3 +195,16 @@ def test_canonicalize_properties(spark, urls):
         if "?" in c:
             ps = c.split("?", 1)[1].split("&")
             assert ps == sorted(ps) and all(p for p in ps)
+
+
+def test_fragment_question_mark_does_not_leak(spark):
+    """A '?' inside the fragment must not be parsed as a query: two crawls
+    differing only in fragment text canonicalize identically."""
+    got = _canon(spark, [
+        "https://h.example/p#frag?x=1",
+        "https://h.example/p",
+        "https://h.example/p?a=1#frag?b=2",
+    ])
+    assert got[0] == "https://h.example/p"
+    assert got[1] == "https://h.example/p"
+    assert got[2] == "https://h.example/p?a=1"
