@@ -1078,6 +1078,13 @@ def _q_descriptive_stats(spark, sf_dir):
     return descriptive_stats(ev, "event_type", "value", scale=1000)
 
 
+def _q_group_percentiles(spark, sf_dir):
+    from geomesa_spark.operators.corpus import group_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_percentiles(ev, "event_type", "value")
+
+
 def _q_topk_tokens(spark, sf_dir):
     from geomesa_spark.operators.corpus import topk_tokens
 
@@ -1234,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "sample_stratified": _q_sample_stratified,
         "descriptive_stats": _q_descriptive_stats,
+        "group_percentiles": _q_group_percentiles,
         "topk_tokens": _q_topk_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
         "arrow_roundtrip": _q_arrow_roundtrip,
@@ -2100,6 +2108,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e)
             SELECT n AS node, n - (n % 50) AS component FROM nodes
+        """,
+        # twin of operators.corpus.group_percentiles: percentile_disc picks
+        # an actual data value (no interpolation), so engines agree exactly
+        "group_percentiles": """
+            SELECT event_type AS grp,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY grp
         """,
         # twin of operators.corpus.topk_tokens: k=40, ties on token bytes
         "topk_tokens": r"""

@@ -313,7 +313,7 @@ def _time_queries(spark) -> dict[str, float]:
         "ts_filter", "replay", "map_agg_json", "media_features",
         "frame_sample",
         "url_canonicalize", "url_dedup", "domain_stats", "sessionize",
-        "sample_stratified", "descriptive_stats", "topk_tokens",
+        "sample_stratified", "descriptive_stats", "group_percentiles", "topk_tokens",
         "warc_roundtrip", "arrow_roundtrip", "dedup_components",
     ]
     qs = entrymod.queries()

@@ -115,6 +115,37 @@ def descriptive_stats(
     return agg.select("grp", "n", "vmin", "vmax", mean.alias("mean"), std.alias("std"))
 
 
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group discrete percentiles ``(group, p50, p90, ...)``.
+
+    Exact mode uses ``percentile_disc`` — it picks an actual data value
+    (no interpolation), so two engines agree bit-for-bit, but Spark's
+    exact percentile buffers the group's full value multiset: fine for
+    profile tables (bounded groups), a hazard when one group holds 10^11
+    rows. ``approx=True`` is the corpus-scale path —
+    ``approx_percentile`` keeps a bounded mergeable sketch per group
+    (map-side combinable like every other aggregate here).
+    """
+    aggs = []
+    for p in percentiles:
+        name = f"p{round(p * 100)}"
+        if approx:
+            aggs.append(F.expr(f"approx_percentile({value_col}, {p!r})").alias(name))
+        else:
+            aggs.append(
+                F.expr(
+                    f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {value_col})"
+                ).alias(name)
+            )
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
 def topk_tokens(
     df: DataFrame,
     text_col: str,

@@ -202,3 +202,19 @@ def test_hash_frac_int_column_no_ansi_overflow(spark):
     a = [r["h"] for r in ints.select(hash_frac(F.col("i")).alias("h")).collect()]
     b = [r["h"] for r in longs.select(hash_frac(F.col("i")).alias("h")).collect()]
     assert a == b
+
+
+def test_group_percentiles_exact_and_approx(spark):
+    from geomesa_spark.operators.corpus import group_percentiles
+
+    vals = [(g, float(v)) for g in ("a", "b") for v in range(1, 101)]
+    df = spark.createDataFrame(vals, "g string, v double")
+    out = {r["grp"]: r for r in
+           group_percentiles(df, "g", "v", (0.5, 0.9)).collect()}
+    # percentile_disc on 1..100: p50 -> 50.0, p90 -> 90.0 (actual members)
+    for g in ("a", "b"):
+        assert out[g]["p50"] == 50.0 and out[g]["p90"] == 90.0
+    apx = {r["grp"]: r for r in
+           group_percentiles(df, "g", "v", (0.5, 0.9), approx=True).collect()}
+    for g in ("a", "b"):
+        assert abs(apx[g]["p50"] - 50.0) <= 2 and abs(apx[g]["p90"] - 90.0) <= 2
