@@ -1085,6 +1085,20 @@ def _q_group_percentiles(spark, sf_dir):
     return group_percentiles(ev, "event_type", "value")
 
 
+def _q_robots_filter(spark, sf_dir):
+    """Robots compliance over the crawl-surface url table: every third
+    host disallows /page/ but allows /page/1* — longest-prefix-match
+    semantics the oracle reproduces arithmetically from doc_id."""
+    from geomesa_spark.functions.robots import robots_filter, robots_rules
+
+    body = "User-agent: *\nDisallow: /page/\nAllow: /page/1\n"
+    rules = robots_rules(
+        spark, [(f"site{h}.example", body) for h in range(0, 997, 3)]
+    )
+    p = _url_pages(_utc(spark), sf_dir).select("doc_id", "url")
+    return robots_filter(p, rules, "url")
+
+
 def _q_topk_tokens(spark, sf_dir):
     from geomesa_spark.operators.corpus import topk_tokens
 
@@ -1242,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "descriptive_stats": _q_descriptive_stats,
         "group_percentiles": _q_group_percentiles,
+        "robots_filter": _q_robots_filter,
         "topk_tokens": _q_topk_tokens,
         "warc_roundtrip": _q_warc_roundtrip,
         "arrow_roundtrip": _q_arrow_roundtrip,
@@ -2117,6 +2132,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events GROUP BY grp
+        """,
+        # twin of _q_robots_filter: hosts h%3==0 disallow /page/ but allow
+        # /page/1 (longer prefix wins), so a page survives iff its host
+        # has no rules or its group id starts with '1'
+        "robots_filter": _URL_CANON_CTE + """
+            SELECT doc_id, url FROM u
+            WHERE NOT ((doc_id // 3 % 997) % 3 = 0)
+               OR CAST(doc_id // 3 AS VARCHAR) LIKE '1%'
         """,
         # twin of operators.corpus.topk_tokens: k=40, ties on token bytes
         "topk_tokens": r"""

@@ -315,6 +315,7 @@ def _time_queries(spark) -> dict[str, float]:
         "url_canonicalize", "url_dedup", "domain_stats", "sessionize",
         "sample_stratified", "descriptive_stats", "group_percentiles", "topk_tokens",
         "warc_roundtrip", "arrow_roundtrip", "dedup_components",
+        "robots_filter",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
