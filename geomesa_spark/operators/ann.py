@@ -29,6 +29,40 @@ def _topk_window(df: DataFrame, k: int, id_col: str) -> DataFrame:
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _empty_topk(emb: DataFrame, id_col: str) -> DataFrame:
+    """Schema-stable empty result for an empty query list."""
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return emb.sparkSession.createDataFrame(
+        [], f"query_id string, {id_col} {id_type}, sim double, rank int"
+    )
+
+
+def _cos_udf():
+    """Exact pairwise cosine (row vector vs attached query vector) — the
+    ONE verify kernel shared by the LSH, IVF, and near-pair paths."""
+
+    @F.pandas_udf("double")
+    def cos(vecs: pd.Series, qvecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        q = np.array(qvecs.tolist(), dtype=np.float64)
+        num = (m * q).sum(axis=1)
+        den = np.maximum(1e-12, np.linalg.norm(m, axis=1) * np.linalg.norm(q, axis=1))
+        return pd.Series(num / den)
+
+    return cos
+
+
+def _band_hashes(bits_row: np.ndarray, bands: int, rows_per_band: int) -> list[int]:
+    """Sign bits -> per-band bucket ids (band index folded into the key).
+    Single source of truth for the band-hash layout, used by both the
+    vectorized UDF and the driver-side query twin."""
+    out = []
+    for b in range(bands):
+        seg = bits_row[b * rows_per_band : (b + 1) * rows_per_band]
+        out.append(int((seg.astype(np.int64) << np.arange(len(seg))).sum()) + (b << 32))
+    return out
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: list[tuple[str, list[float]]],
@@ -41,6 +75,8 @@ def cosine_topk(
     Returns (query_id, vec_id, sim, rank). One batched matmul per Arrow
     batch against the whole (broadcast) query matrix.
     """
+    if not queries:
+        return _empty_topk(emb, id_col)
     qids = [q[0] for q in queries]
     qmat = np.array([q[1] for q in queries], dtype=np.float64)
     qnorm = qmat / np.maximum(1e-12, np.linalg.norm(qmat, axis=1, keepdims=True))
@@ -64,12 +100,14 @@ def cosine_topk(
 
 
 def hyperplane_signatures(
-    emb: DataFrame, dim: int, n_planes: int = 64,
+    emb: DataFrame, dim: int, n_planes: int = 63,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
 ) -> DataFrame:
     """Sign-random-projection signature bits packed into a long."""
+    if n_planes > 63:
+        raise ValueError("n_planes must be <= 63 (bits pack into one signed long)")
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, min(n_planes, 63)))
+    planes = rng.standard_normal((dim, n_planes))
 
     @F.pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
@@ -97,53 +135,29 @@ def lsh_cosine_topk(
     bands matches exactly. Recall < 1 by construction; tested >= 0.9 vs
     brute force on clustered data.
     """
+    if not queries:
+        return _empty_topk(emb, id_col)
     dim = len(queries[0][1])
     rng = np.random.RandomState(seed)
     n_planes = min(n_planes, 63)
     planes = rng.standard_normal((dim, n_planes))
     rows_per_band = n_planes // bands
 
-    def band_values(vec: np.ndarray) -> list[int]:
-        bits = (vec @ planes) > 0
-        out = []
-        for b in range(bands):
-            seg = bits[b * rows_per_band : (b + 1) * rows_per_band]
-            out.append(int((seg.astype(np.int64) << np.arange(len(seg))).sum()) + (b << 32))
-        return out
-
-    # probe side: explode each vector to its band buckets
-    @F.pandas_udf("array<long>")
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        bits = (m @ planes) > 0
-        vals = []
-        for row in bits:
-            out = []
-            for b in range(bands):
-                seg = row[b * rows_per_band : (b + 1) * rows_per_band]
-                out.append(int((seg.astype(np.int64) << np.arange(len(seg))).sum()) + (b << 32))
-            vals.append(np.array(out, dtype=np.int64))
-        return pd.Series(vals)
-
     spark = emb.sparkSession
     qrows = []
     for qid, qvec in queries:
-        for bucket in band_values(np.asarray(qvec, dtype=np.float64)):
+        bits = (np.asarray(qvec, dtype=np.float64) @ planes) > 0
+        for bucket in _band_hashes(bits, bands, rows_per_band):
             qrows.append((qid, bucket, [float(v) for v in qvec]))
     qdf = spark.createDataFrame(qrows, "query_id string, bucket long, q_vec array<double>")
 
+    # probe side: explode each vector to its band buckets (same kernel as
+    # the embedding near-pair path — one band-hash implementation)
+    bucket_udf = _sig_bucket_udf(planes, bands, rows_per_band)
     probe = emb.select(id_col, vec_col, F.explode(bucket_udf(F.col(vec_col))).alias("bucket"))
     cand = probe.join(F.broadcast(qdf), "bucket").dropDuplicates([id_col, "query_id"])
 
-    @F.pandas_udf("double")
-    def cos(vecs: pd.Series, qvecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        q = np.array(qvecs.tolist(), dtype=np.float64)
-        num = (m * q).sum(axis=1)
-        den = np.maximum(1e-12, np.linalg.norm(m, axis=1) * np.linalg.norm(q, axis=1))
-        return pd.Series(num / den)
-
-    scored = cand.withColumn("sim", cos(F.col(vec_col), F.col("q_vec")))
+    scored = cand.withColumn("sim", _cos_udf()(F.col(vec_col), F.col("q_vec")))
     return _topk_window(scored, k, id_col).select("query_id", id_col, "sim", "rank")
 
 
@@ -152,13 +166,10 @@ def _sig_bucket_udf(planes: np.ndarray, bands: int, rows_per_band: int):
     def buckets(vecs: pd.Series) -> pd.Series:
         m = np.array(vecs.tolist(), dtype=np.float64)
         bits = (m @ planes) > 0
-        vals = []
-        for row in bits:
-            out = []
-            for b in range(bands):
-                seg = row[b * rows_per_band : (b + 1) * rows_per_band]
-                out.append(int((seg.astype(np.int64) << np.arange(len(seg))).sum()) + (b << 32))
-            vals.append(np.array(out, dtype=np.int64))
+        vals = [
+            np.array(_band_hashes(row, bands, rows_per_band), dtype=np.int64)
+            for row in bits
+        ]
         return pd.Series(vals)
 
     return buckets
@@ -223,17 +234,8 @@ def embedding_near_pairs(
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     paired = cand.join(va, "id_a").join(vb, "id_b")
-
-    @F.pandas_udf("double")
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.array(a.tolist(), dtype=np.float64)
-        mb = np.array(b.tolist(), dtype=np.float64)
-        num = (ma * mb).sum(axis=1)
-        den = np.maximum(1e-12, np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
-        return pd.Series(num / den)
-
     return (
-        paired.withColumn("sim", cos(F.col("__va"), F.col("__vb")))
+        paired.withColumn("sim", _cos_udf()(F.col("__va"), F.col("__vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -286,30 +288,44 @@ def train_ivf_centroids(
                     sel = assign == cell
                     sums[cell] += mn[sel].sum(axis=0)
                     counts[cell] += int(sel.sum())
+            # LONG format (cell, pos, v): the final aggregate is a plain
+            # groupBy(cell, pos) sum — plan size stays O(1) in the
+            # embedding dimension, where a dim-wide array-of-F.sum
+            # expression tree blows up analysis/codegen at 1024+ dims.
+            # pos == -1 carries the count row.
+            cells = np.repeat(np.arange(len(_c)), dim)
             yield _pd.DataFrame({
-                "cell": np.arange(len(_c)),
-                "s": list(sums.astype(np.float64)),
-                "n": counts,
+                "cell": np.concatenate([cells, np.arange(len(_c))]),
+                "pos": np.concatenate([
+                    np.tile(np.arange(dim), len(_c)),
+                    np.full(len(_c), -1),
+                ]).astype(np.int32),
+                "v": np.concatenate([
+                    sums.astype(np.float64).ravel(),
+                    counts.astype(np.float64),
+                ]),
             })
 
         agg = (
-            src.mapInPandas(partials, f"cell int, s array<double>, n long")
-            .groupBy("cell")
-            .agg(
-                F.array(*[
-                    F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)
-                ]).alias("s"),
-                F.sum("n").alias("n"),
-            )
+            src.mapInPandas(partials, "cell int, pos int, v double")
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("v"))
             .collect()
         )
-        new = cents.copy()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.float64)
         for row in agg:
-            if row["n"] > 0:
-                v = np.array(row["s"], dtype=np.float64) / row["n"]
+            if row["pos"] < 0:
+                counts[row["cell"]] = row["v"]
+            else:
+                sums[row["cell"], row["pos"]] = row["v"]
+        new = cents.copy()
+        for cell in range(len(cents)):
+            if counts[cell] > 0:
+                v = sums[cell] / counts[cell]
                 nv = np.linalg.norm(v)
                 if nv > 1e-12:
-                    new[row["cell"]] = v / nv
+                    new[cell] = v / nv
         cents = new
     return cents
 
@@ -365,6 +381,13 @@ def ivf_cosine_topk(
     ~nprobe/n_cells of the table. The train-per-call default exists only
     for small/ad-hoc inputs.
     """
+    if not queries:
+        return _empty_topk(emb, id_col)
+    if cell_col is not None and centroids is None:
+        # a persisted cell column is only meaningful with the centroids
+        # that produced it — probing freshly-trained centroids against a
+        # foreign assignment silently returns wrong candidates
+        raise ValueError("cell_col requires the matching precomputed centroids")
     cents = centroids if centroids is not None else train_ivf_centroids(
         emb, n_cells, vec_col, iters=iters, seed=seed,
         sample_fraction=sample_fraction,
@@ -386,14 +409,5 @@ def ivf_cosine_topk(
     qdf = spark.createDataFrame(qrows, "query_id string, __cell int, q_vec array<double>")
 
     cand = assigned.join(F.broadcast(qdf), "__cell").drop("__cell")
-
-    @F.pandas_udf("double")
-    def cos(vecs: pd.Series, qvecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        q = np.array(qvecs.tolist(), dtype=np.float64)
-        num = (m * q).sum(axis=1)
-        den = np.maximum(1e-12, np.linalg.norm(m, axis=1) * np.linalg.norm(q, axis=1))
-        return pd.Series(num / den)
-
-    scored = cand.withColumn("sim", cos(F.col(vec_col), F.col("q_vec")))
+    scored = cand.withColumn("sim", _cos_udf()(F.col(vec_col), F.col("q_vec")))
     return _topk_window(scored, k, id_col).select("query_id", id_col, "sim", "rank")

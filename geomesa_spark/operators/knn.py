@@ -95,24 +95,38 @@ def _cells_for_radius(lon: float, lat: float, radius_m: float, level: int) -> li
     superset of the haversine circle or ring expansion would drop a true
     neighbor.
     """
+    cells: set[int] = set()
+    for x0, y0, x1, y1 in _radius_boxes(lon, lat, radius_m):
+        cells.update(tiles_for_bbox(x0, y0, x1, y1, level))
+    return sorted(cells)
+
+
+def _radius_boxes(lon: float, lat: float, radius_m: float) -> list[tuple]:
+    """The lat/lon boxes covering a radius circle (1-2 boxes: antimeridian
+    wraps split, pole-touching covers the full lon range).
+
+    SINGLE source of truth for the cover geometry — both the broadcast
+    cell cover and the z2 prune boxes derive from it, so a constant tweak
+    (meridian rounding, the 1.6x chord pad) can never desynchronize them
+    and admit rows into one that the other excludes.
+    """
     dlat = radius_m / 111_000.0
     lat_lo, lat_hi = max(-90.0, lat - dlat), min(90.0, lat + dlat)
     lat_far = max(abs(lat_lo), abs(lat_hi))
     coslat = max(0.01, math.cos(math.radians(lat_far)))
     dlon = min(360.0, 1.6 * radius_m / (111_000.0 * coslat))
-    cells: set[int] = set()
     if dlon >= 180.0 or lat_hi >= 90.0 or lat_lo <= -90.0:
-        cells.update(tiles_for_bbox(-180.0, lat_lo, 180.0, lat_hi, level))
-        return sorted(cells)
+        return [(-180.0, lat_lo, 180.0, lat_hi)]
+    boxes = []
     lon_lo, lon_hi = lon - dlon, lon + dlon
-    if lon_lo < -180.0:  # wrap west
-        cells.update(tiles_for_bbox(lon_lo + 360.0, lat_lo, 180.0, lat_hi, level))
+    if lon_lo < -180.0:  # antimeridian wrap west
+        boxes.append((lon_lo + 360.0, lat_lo, 180.0, lat_hi))
         lon_lo = -180.0
     if lon_hi > 180.0:  # wrap east
-        cells.update(tiles_for_bbox(-180.0, lat_lo, lon_hi - 360.0, lat_hi, level))
+        boxes.append((-180.0, lat_lo, lon_hi - 360.0, lat_hi))
         lon_hi = 180.0
-    cells.update(tiles_for_bbox(lon_lo, lat_lo, lon_hi, lat_hi, level))
-    return sorted(cells)
+    boxes.append((lon_lo, lat_lo, lon_hi, lat_hi))
+    return boxes
 
 
 def _z2_prune_for_boxes(points: GeoTable, boxes: list[tuple[float, float, float, float]]):
@@ -155,23 +169,9 @@ def _cell_join_candidates(
     ]
     q = spark.createDataFrame(rows, "query_id string, tile long, q_lon double, q_lat double")
     pts = points.df
-    boxes = []
-    for _, lon, lat in pending:
-        dlat = radius_m / 111_000.0
-        lat_lo, lat_hi = max(-90.0, lat - dlat), min(90.0, lat + dlat)
-        lat_far = max(abs(lat_lo), abs(lat_hi))
-        dlon = min(360.0, 1.6 * radius_m / (111_000.0 * max(0.01, math.cos(math.radians(lat_far)))))
-        if dlon >= 180.0 or lat_hi >= 90.0 or lat_lo <= -90.0:
-            boxes.append((-180.0, lat_lo, 180.0, lat_hi))
-            continue
-        lon_lo, lon_hi = lon - dlon, lon + dlon
-        if lon_lo < -180.0:  # antimeridian wrap west
-            boxes.append((lon_lo + 360.0, lat_lo, 180.0, lat_hi))
-            lon_lo = -180.0
-        if lon_hi > 180.0:  # wrap east
-            boxes.append((-180.0, lat_lo, lon_hi - 360.0, lat_hi))
-            lon_hi = 180.0
-        boxes.append((lon_lo, lat_lo, lon_hi, lat_hi))
+    boxes = [
+        b for _, lon, lat in pending for b in _radius_boxes(lon, lat, radius_m)
+    ]
     prune = _z2_prune_for_boxes(points, boxes)
     if prune is not None:
         pts = pts.filter(prune)
@@ -222,7 +222,11 @@ def knn_join(
             # whole-earth single pass would admit the entire table into one
             # Vincenty UDF + global window (the r2 judge's degenerate case)
             return knn_ring_expansion(points, queries, k, metric=metric)
-    cand = _cell_join_candidates(points, queries, max_radius_m, metric)
+    # vincenty circles poke ~0.4% outside the haversine-sized cover on the
+    # WGS84 meridian — pad the COVER like the ring-expansion path does
+    # (cover_pad below); the exact distance filter keeps the true bound
+    cover_radius = max_radius_m * (1.02 if metric == "vincenty" else 1.0)
+    cand = _cell_join_candidates(points, queries, cover_radius, metric)
     bound = max_radius_m / 111_320.0 if metric == "euclid" else max_radius_m
     cand = cand.filter(F.col("dist") <= bound)
     return _topk(points, cand, k).drop("q_lon", "q_lat", "knn_rank")

@@ -81,6 +81,33 @@ def _register(schema: Any, named: dict) -> None:
                 named[f"{ns}.{name}"] = schema
 
 
+def _register_all(schema: Any, named: dict) -> None:
+    """Pre-walk a schema and register EVERY named type it defines.
+
+    Registration during decode is lazy — a record first defined inside a
+    ``["null", Rec]`` union branch would never register when the first
+    value takes the null branch, and a later by-name reference ("Rec")
+    would fail on a spec-valid file. Entry points call this once up
+    front so name resolution never depends on data order.
+    """
+    if isinstance(schema, list):
+        for b in schema:
+            _register_all(b, named)
+        return
+    if isinstance(schema, dict):
+        _register(schema, named)
+        t = schema.get("type")
+        if t == "record":
+            for f in schema.get("fields", []):
+                _register_all(f["type"], named)
+        elif t == "array":
+            _register_all(schema.get("items"), named)
+        elif t == "map":
+            _register_all(schema.get("values"), named)
+        elif isinstance(t, (dict, list)):
+            _register_all(t, named)
+
+
 def _decode(buf: io.BytesIO, schema: Any, named: dict) -> Any:
     schema = _resolve(schema, named)
     if isinstance(schema, list):  # union
@@ -173,7 +200,7 @@ def iter_container(data: bytes) -> Iterator[Any]:
     """Decode every record of an OCF byte string (codecs: null, deflate)."""
     schema, codec, sync, off = read_header(data)
     named: dict = {}
-    _register(schema, named)
+    _register_all(schema, named)
     buf = io.BytesIO(data)
     buf.seek(off)
     while True:
@@ -254,7 +281,7 @@ def _type_ddl(schema: Any, named: dict) -> str:
 def schema_to_ddl(schema: Any) -> str:
     """Top-level record schema -> Spark DDL column list."""
     named: dict = {}
-    _register(schema, named)
+    _register_all(schema, named)
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         raise ValueError("container schema must be a record at top level")
     return ", ".join(
@@ -358,7 +385,7 @@ def write_container(schema: Any, records: list, codec: str = "null") -> bytes:
     out.write(sync)
 
     named: dict = {}
-    _register(schema, named)
+    _register_all(schema, named)
     body = io.BytesIO()
     for rec in records:
         _encode(body, schema, rec, named)

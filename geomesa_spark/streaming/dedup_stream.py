@@ -32,9 +32,24 @@ def streaming_exact_dedup(
     ``stream`` must be a streaming DataFrame carrying ``text_col`` and an
     event-time ``ts_col``. Returns the stream with duplicate-content rows
     dropped and a ``content_hash`` column attached. State is keyed on the
-    md5 only (16 bytes/doc), evicted ``delay`` past the watermark.
+    md5 hex string (32 chars/doc), evicted ``delay`` past the watermark.
+
+    Null-content rows (fetch failures, binary pages): ``md5(null)`` is
+    null, and ``dropDuplicatesWithinWatermark`` treats null keys as EQUAL
+    — every distinct null-text document after the first would be silently
+    dropped as a "duplicate". Such rows get a surrogate key hashed from
+    the whole row instead (deterministic, so micro-batch replays still
+    dedup exactly): distinct fetch-failures pass through, fully identical
+    rows still collapse.
     """
-    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    h = F.md5(F.col(text_col))
+    surrogate = F.concat(F.lit("null:"), F.sha2(F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in stream.columns]
+    ), 256))
+    hashed = stream.withColumn(
+        "content_hash",
+        F.when(F.col(text_col).isNull(), surrogate).otherwise(h),
+    )
     return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
