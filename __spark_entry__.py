@@ -133,7 +133,8 @@ def _poly_wkts() -> list[tuple[str, str]]:
     return polys
 
 
-# haversine SQL mirroring operators/knn.py::_haversine_cols operation order
+# haversine SQL mirroring geom/distance.py::haversine_expr operation order
+# (the shared column-vs-column kernel behind knn/tube/proximity)
 def _hav_sql(qlon: str, qlat: str) -> str:
     return (
         f"2.0 * 6371008.8 * asin(sqrt(least(1.0, "
@@ -2068,10 +2069,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vv) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000
                      AS mean,
                    CASE WHEN count(*) > 1 THEN
-                     sqrt((CAST(sum(vv * vv) AS DOUBLE)
-                           - CAST(sum(vv) AS DOUBLE) * CAST(sum(vv) AS DOUBLE)
-                             / CAST(count(*) AS DOUBLE))
-                          / (CAST(count(*) AS DOUBLE) - 1.0)) / 1000
+                     sqrt(CAST(count(*) * sum(vv * vv)
+                               - sum(vv) * sum(vv) AS DOUBLE)
+                          / (CAST(count(*) AS DOUBLE)
+                             * (CAST(count(*) AS DOUBLE) - 1.0))) / 1000
                    END AS std
             FROM v GROUP BY grp
         """,

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geomesa_spark.functions.urls import url_host, url_path
+from geomesa_spark.functions.urls import url_host, url_path, url_query
 
 RULE_SCHEMA = "host string, rule string, prefix string, prefix_len int"
 
@@ -80,7 +80,6 @@ def robots_rules(spark, robots: list[tuple[str, str]], agent: str = "*") -> Data
     """[(host, robots_txt_body)] -> broadcastable rules DataFrame."""
     rows = []
     for host, text in robots:
-        rows.append((host.lower(), "__present", "", 0))  # host HAS a file
         rows.extend(parse_robots_text(host.lower(), text, agent))
     return spark.createDataFrame(rows, RULE_SCHEMA)
 
@@ -100,34 +99,39 @@ def robots_filter(
     if keep not in ("allowed", "disallowed"):
         raise ValueError(f"keep must be allowed|disallowed, got {keep!r}")
     url = F.col(url_col)
-    keyed = pages.withColumn("__host", url_host(url)).withColumn(
-        "__path",
-        F.when(url_path(url) == "", F.lit("/")).otherwise(url_path(url)),
+    # REP matching is against path-PLUS-query ('Disallow: /search?q=' is a
+    # legal prefix rule), so the match target keeps the query string
+    path = F.when(url_path(url) == "", F.lit("/")).otherwise(url_path(url))
+    q = url_query(url)
+    target = F.when(q == "", path).otherwise(F.concat(path, F.lit("?"), q))
+    keyed = pages.withColumn("__robots_host", url_host(url)).withColumn(
+        "__robots_target", target
     )
     # one row per host: the rule array (tiny — broadcasts); allow ranks
-    # above disallow so the struct max resolves equal-length ties per spec
-    per_host = (
-        rules.filter(F.col("rule") != "__present")
-        .groupBy("host")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("prefix_len").alias("len"),
-                    F.when(F.col("rule") == "allow", 1).otherwise(0).alias("rank"),
-                    F.col("prefix").alias("prefix"),
-                )
-            ).alias("__rules")
-        )
+    # above disallow so the struct max resolves equal-length ties per
+    # spec. Columns carry a __robots_ prefix so a page table that already
+    # has 'host'/'rules' columns never collides or binds ambiguously.
+    per_host = rules.groupBy(F.col("host").alias("__robots_rhost")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("prefix_len").alias("len"),
+                F.when(F.col("rule") == "allow", 1).otherwise(0).alias("rank"),
+                F.col("prefix").alias("prefix"),
+            )
+        ).alias("__robots_rules")
     )
     j = keyed.join(
-        F.broadcast(per_host), F.col("__host") == F.col("host"), "left"
+        F.broadcast(per_host),
+        F.col("__robots_host") == F.col("__robots_rhost"),
+        "left",
     )
     matches = F.filter(
-        F.col("__rules"), lambda r: F.col("__path").startswith(r["prefix"])
+        F.col("__robots_rules"),
+        lambda r: F.col("__robots_target").startswith(r["prefix"]),
     )
     best = F.array_max(matches)
     allowed = (
-        F.col("__rules").isNull()
+        F.col("__robots_rules").isNull()
         | (F.size(matches) == 0)
         | (best["rank"] == 1)
     )

@@ -66,11 +66,14 @@ def density_geometries(
     .scala:36-140``: a LineString walks the grid cells its segments cross
     (GridSnap's Bresenham walk), a Polygon covers the grid cells of its bbox
     that test inside; each geometry's weight is split evenly over its
-    covered cells, so total mass is conserved — a geometry whose cover test
-    hits no cell (e.g. a polygon smaller than one grid cell) falls back to
-    snapping its bbox center to a single cell, so no weight is ever dropped.
-    Rasterization is an Arrow-batched numpy kernel; the aggregation is a
-    plain hash agg.
+    covered cells, so in-bbox mass is conserved — a geometry whose cover
+    test hits no cell (e.g. a polygon smaller than one grid cell) falls
+    back to snapping its bbox center to a single cell. Geometries whose
+    bbox lies entirely OUTSIDE the density bbox contribute nothing (the
+    same clip semantics as :func:`density`'s point filter — without it
+    the edge rows/columns would accumulate spurious snapped mass from
+    every off-grid geometry). Rasterization is an Arrow-batched numpy
+    kernel; the aggregation is a plain hash agg.
     """
     from geomesa_spark.geom.kernels import points_in_polygon
     from geomesa_spark.geom.wkt import parse_wkt
@@ -90,6 +93,10 @@ def density_geometries(
         for wkt, wt in zip(wkts, weights):
             g = parse_wkt(wkt)
             wt = 1.0 if wt is None else float(wt)
+            gb = g.bbox()
+            if gb[2] < lon_min or gb[0] > lon_max or gb[3] < lat_min or gb[1] > lat_max:
+                out.append([])  # entirely off-grid: clipped, not snapped
+                continue
             cells: dict[tuple[int, int], float] = {}
             if g.kind in ("POINT", "MULTIPOINT"):
                 pts = g.rings[0]

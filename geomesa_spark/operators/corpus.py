@@ -74,7 +74,13 @@ def stratified_sample(
     """
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
     p = F.least(F.lit(1.0), F.lit(float(quota)) / F.col("__n"))
-    keyed = df.join(F.broadcast(counts.select(strata_col, p.alias("__p"))), strata_col)
+    # null-safe equality: a NULL stratum is a real stratum (missing lang is
+    # common in crawl data) — a plain equi-join would silently DROP every
+    # null-stratum row instead of sampling it at its own quota
+    cdf = counts.select(F.col(strata_col).alias("__s"), p.alias("__p"))
+    keyed = df.join(
+        F.broadcast(cdf), F.col(strata_col).eqNullSafe(F.col("__s"))
+    ).drop("__s")
     return keyed.filter(hash_frac(F.col(id_col), salt) < F.col("__p")).drop("__p")
 
 
@@ -108,9 +114,17 @@ def descriptive_stats(
     )
     n = F.col("n").cast("double")
     sv = F.col("__sv").cast("double")
-    sv2 = F.col("__sv2").cast("double")
     mean = sv / n / scale
-    var_v = (sv2 - sv * sv / n) / (n - F.lit(1.0))
+    # the variance cancellation (n*Σv² − (Σv)²) happens IN DECIMAL — both
+    # terms are exact integers, so the subtraction never loses the small
+    # difference of two huge rounded doubles (which yields NaN/garbage std
+    # for constant groups with |v|·n beyond 2^53); only the exact
+    # non-negative numerator converts to double
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("__sv2")
+        - F.col("__sv") * F.col("__sv")
+    ).cast("double")
+    var_v = num / (n * (n - F.lit(1.0)))
     std = F.when(F.col("n") > 1, F.sqrt(var_v) / scale)
     return agg.select("grp", "n", "vmin", "vmax", mean.alias("mean"), std.alias("std"))
 

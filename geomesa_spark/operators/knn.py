@@ -40,13 +40,9 @@ _EARTH_HALF_CIRCUMFERENCE_M = 20_015_087.0  # no point is farther than this
 
 
 def _haversine_cols(lon1, lat1, lon2, lat2):
-    R = 6_371_008.8
-    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
-    a = (
-        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
-        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
-    )
-    return F.lit(2.0 * R) * F.asin(F.sqrt(F.least(F.lit(1.0), a)))
+    from geomesa_spark.geom.distance import haversine_expr
+
+    return haversine_expr(lon1, lat1, lon2, lat2)
 
 
 def _euclid_deg_cols(lon1, lat1, lon2, lat2):

@@ -112,9 +112,17 @@ def polygon_covers(polys: list[tuple[str, str]], max_cells: int = 64) -> pd.Data
     rows = []
     for pid, wkt in polys:
         g = parse_wkt(wkt)
+        if g.kind not in ("POLYGON", "MULTIPOLYGON"):
+            # the exact residual is a PIP kernel; a LINESTRING/POINT build
+            # side would crash it inside an executor — fail at plan time
+            raise ValueError(
+                f"spatial_join build side must be polygonal; {pid!r} is "
+                f"{g.kind} (use operators.knn/proximity for point build "
+                "sides, sources.geom_layout for geometry rows)"
+            )
         b = g.bbox()
         is_box = _is_axis_aligned_box(g)
-        if is_box or g.kind not in ("POLYGON", "MULTIPOLYGON"):
+        if is_box:
             level = _cover_level(b, max_cells=max_cells)
             for cell in tiles_for_bbox(b[0], b[1], b[2], b[3], level):
                 rows.append((pid, level, int(cell), is_box,
@@ -240,14 +248,9 @@ def proximity_join(
         & lat.between(F.col("b_lat_min"), F.col("b_lat_max")),
         "inner",
     )
-    R = 6_371_008.8
-    rlat1 = F.radians(lat)
-    rlat2 = F.radians(F.col("s_lat"))
-    a = (
-        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
-        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(F.radians(F.col("s_lon") - lon) / 2), 2)
-    )
-    dist = F.lit(2.0 * R) * F.asin(F.sqrt(F.least(F.lit(1.0), a)))
+    from geomesa_spark.geom.distance import haversine_expr
+
+    dist = haversine_expr(lon, lat, F.col("s_lon"), F.col("s_lat"))
     return (
         joined.withColumn("dist_m", dist)
         .filter(F.col("dist_m") <= F.lit(float(distance_m)))

@@ -87,13 +87,9 @@ def tube_select(
         & lat.between(F.col("b_lat_min"), F.col("b_lat_max")),
         "inner",
     )
-    R = 6_371_008.8
-    rlat1, rlat2 = F.radians(lat), F.radians(F.col("c_lat"))
-    a = (
-        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
-        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(F.radians(F.col("c_lon") - lon) / 2), 2)
-    )
-    dist = F.lit(2.0 * R) * F.asin(F.sqrt(F.least(F.lit(1.0), a)))
+    from geomesa_spark.geom.distance import haversine_expr
+
+    dist = haversine_expr(lon, lat, F.col("c_lon"), F.col("c_lat"))
     out = (
         joined.withColumn("dist_m", dist)
         .filter(F.col("dist_m") <= F.col("radius_m"))

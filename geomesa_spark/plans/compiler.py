@@ -370,6 +370,13 @@ def _z3_prune(t: GeoTable, bbox, interval, stats: QueryStats,
     """
     lo_s = int(interval[0].timestamp())
     hi_s = int(interval[1].timestamp())
+    if lo_s > hi_s:
+        # contradictory (empty) intersected interval — e.g. two disjoint
+        # DURING clauses ANDed together: a legal query whose answer is
+        # empty, not a planner crash
+        stats.n_weeks = 0
+        stats.notes.append("empty time interval: query compiles to no rows")
+        return F.lit(False)
     w0, w1 = lo_s // SECONDS_PER_WEEK, hi_s // SECONDS_PER_WEEK
     stats.n_weeks = w1 - w0 + 1
     if w1 - w0 > 512:

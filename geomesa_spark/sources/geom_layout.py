@@ -172,6 +172,10 @@ def geom_spatial_join(
     """
     from geomesa_spark.geom.kernels import geometry_intersects_box
 
+    # canonical tile-id unpack + bbox — one packing implementation repo-wide
+    from geomesa_spark.cells.tiles import tile_bbox
+    from geomesa_spark.operators.spatial_join import _cell_xy
+
     spark = layout.sparkSession
     rows = []
     for pid, wkt in polys:
@@ -179,15 +183,8 @@ def geom_spatial_join(
         b = g.bbox()
         for lo, hi in _cell_ranges(b, level):
             for cell in range(lo, hi + 1):
-                x = (cell - level * (1 << 52)) >> 26
-                y = cell & ((1 << 26) - 1)
-                n = 1 << level
-                cb = (
-                    -180.0 + 360.0 * x / n,
-                    90.0 - 180.0 * (y + 1) / n,
-                    -180.0 + 360.0 * (x + 1) / n,
-                    90.0 - 180.0 * y / n,
-                )
+                x, y = _cell_xy(level, cell)
+                cb = tile_bbox(level, x, y)
                 if geometry_intersects_box(g, cb):
                     rows.append((pid, int(cell), b[0], b[1], b[2], b[3], wkt))
     cover = spark.createDataFrame(

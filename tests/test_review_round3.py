@@ -121,3 +121,101 @@ def test_streaming_dedup_null_text_passthrough(spark, tmp_path):
     # one survivor for the duplicated body; BOTH distinct null-text rows kept
     assert "u3" in got and "u4" in got
     assert len(got & {"u1", "u2"}) == 1
+
+
+# ---------------------------------------------------------------------------
+# third review batch
+# ---------------------------------------------------------------------------
+
+def test_contradictory_interval_compiles_to_empty(spark):
+    """Two disjoint DURING clauses ANDed: a legal query whose answer is
+    empty must compile to an empty scan, not crash the planner."""
+    from geomesa_spark.plans.compiler import compile_query
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 0.5, dt.datetime(2024, 1, 15))],
+        "id long, lon double, lat double, dtg timestamp",
+    )
+    t = as_geotable(df, fid="id")
+    cq = compile_query(
+        t,
+        "BBOX(geom, 0, 0, 10, 10) AND "
+        "dtg DURING 2024-06-01T00:00:00Z/2024-06-30T00:00:00Z AND "
+        "dtg DURING 2024-01-01T00:00:00Z/2024-01-31T00:00:00Z",
+    )
+    assert cq.df.count() == 0
+
+
+def test_robots_query_string_rules_match(spark):
+    """REP prefixes match path-plus-query: 'Disallow: /search?q=' must
+    actually disallow /search?q=... pages."""
+    from geomesa_spark.functions.robots import robots_filter, robots_rules
+
+    rules = robots_rules(spark, [("h.com", "User-agent: *\nDisallow: /search?q=\n")])
+    pages = spark.createDataFrame(
+        [(0, "https://h.com/search?q=x"), (1, "https://h.com/search"),
+         (2, "https://h.com/searchable?q=x")],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in robots_filter(pages, rules).collect()}
+    assert kept == {1, 2}
+
+
+def test_robots_pages_with_host_column_no_collision(spark):
+    from geomesa_spark.functions.robots import robots_filter, robots_rules
+
+    rules = robots_rules(spark, [("h.com", "User-agent: *\nDisallow: /x/\n")])
+    pages = spark.createDataFrame(
+        [(0, "https://h.com/x/1", "whatever"), (1, "https://h.com/y", "h.com")],
+        "doc_id long, url string, host string",
+    )
+    out = robots_filter(pages, rules)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    assert set(out.columns) == {"doc_id", "url", "host"}
+
+
+def test_spatial_join_rejects_nonpolygonal_build_side(spark):
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    df = spark.createDataFrame([(1, 5.0, 5.0)], "id long, lon double, lat double")
+    t = as_geotable(df, dtg=None, fid="id")
+    with pytest.raises(ValueError, match="polygonal"):
+        spatial_join(t, [("l1", "LINESTRING (0 0, 10 10)")])
+
+
+def test_density_geometries_offgrid_contributes_nothing(spark):
+    from geomesa_spark.operators.aggregations import density_geometries
+
+    df = spark.createDataFrame(
+        [("POINT (55 5)",),                      # fully off-grid
+         ("POLYGON ((50 0, 60 0, 60 5, 50 5, 50 0))",),  # off-grid polygon
+         ("POINT (5 5)",)],                      # in-grid
+        "wkt string",
+    )
+    out = density_geometries(df, "wkt", (0, 0, 10, 10), 10, 10).collect()
+    total = sum(r["weight"] for r in out)
+    assert total == 1.0  # only the in-grid point's mass
+
+
+def test_stratified_sample_null_stratum_not_dropped(spark):
+    from geomesa_spark.operators.corpus import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit(None)).alias("s"),
+    )
+    out = stratified_sample(df, "s", quota=200, id_col="id")
+    sizes = {r["s"]: r["n"] for r in
+             out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert None in sizes and abs(sizes[None] - 200) <= 60
+    assert abs(sizes["en"] - 200) <= 60
+
+
+def test_descriptive_stats_constant_large_group_std_zero(spark):
+    from geomesa_spark.operators.corpus import descriptive_stats
+
+    df = spark.createDataFrame(
+        [("a", 1234567.891)] * 1000, "g string, v double")
+    [r] = descriptive_stats(df, "g", "v").collect()
+    assert r["std"] == 0.0  # decimal cancellation: exactly zero, not NaN
+    assert abs(r["mean"] - 1234567.891) < 1e-3
