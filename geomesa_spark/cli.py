@@ -146,7 +146,9 @@ def cmd_ingest(args) -> int:
             raise SystemExit("--fields a,b,c is required for csv ingest")
         lines = delimited_text(raw, "value", args.delimiter, fields)
         if args.spec:
-            df = apply_converter(lines, parse_spec(args.spec, fields))
+            # DSL convention: $0 = the whole raw record, $1..n = the split
+            # fields — the raw-record column leads the positional list
+            df = apply_converter(lines, parse_spec(args.spec, ["value"] + fields))
         else:
             df = lines.drop("value")
     elif fmt == "shp":
@@ -159,8 +161,12 @@ def cmd_ingest(args) -> int:
         df = avro_ingest(spark, args.file)
     else:
         raise SystemExit(f"unknown ingest format {fmt}")
+    from pyspark.sql import functions as F
+
     for col, typ in (kv.split(":", 1) for kv in (args.cast or [])):
-        df = df.withColumn(col, df[col].cast(typ))
+        # try_cast: one malformed cell must yield NULL, not abort a 100 TB
+        # ingest under ANSI mode (the converter library's convention)
+        df = df.withColumn(col, F.expr(f"try_cast({col} AS {typ})"))
     data = os.path.join(_table_dir(args.catalog, args.name), "data")
     write_layout(
         df,

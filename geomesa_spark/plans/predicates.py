@@ -261,6 +261,13 @@ class _Parser:
                 parts.append("(")
             elif kk == "rparen":
                 depth -= 1
+                if depth < 0:
+                    # the predicate's own closer: a parenthesis-free WKT
+                    # (e.g. POINT EMPTY) must be a parse error here, not a
+                    # token-stream overrun
+                    raise ValueError(
+                        f"malformed geometry literal in predicate: {' '.join(parts)!r}"
+                    )
                 parts.append(")")
                 if depth == 0:
                     break

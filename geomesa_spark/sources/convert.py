@@ -110,9 +110,8 @@ def dms_to_decimal(c: Column) -> Column:
     secs = F.regexp_extract(c, _DMS_RE, 3).try_cast("double")
     hemi = F.regexp_extract(c, _DMS_RE, 4)
     value = deg + mins / 60.0 + secs / 3600.0
-    return F.when(hemi.isin("S", "W"), -value).otherwise(F.when(hemi == "N", value).otherwise(
-        F.when(hemi == "E", value)
-    ))
+    # no-match (empty hemi) falls through both branches -> NULL
+    return F.when(hemi.isin("S", "W"), -value).when(hemi.isin("N", "E"), value)
 
 
 def shapefile_ingest(spark, path: str) -> DataFrame:
@@ -239,9 +238,18 @@ def to_gml(
         F.lit("</gml:coordinates></gml:Point></geometry>"),
     ]
     for p in props or []:
-        parts += [F.lit(f"<{p}>"), F.col(p).cast("string"), F.lit(f"</{p}>")]
+        # coalesce each nullable part: F.concat null-propagates, and ONE
+        # null property would blank the row's entire featureMember line
+        parts += [
+            F.lit(f"<{p}>"),
+            F.coalesce(F.col(p).cast("string"), F.lit("")),
+            F.lit(f"</{p}>"),
+        ]
     parts.append(F.lit(f"</{type_name}></gml:featureMember>"))
-    return F.concat(*parts)
+    safe = [
+        F.coalesce(x, F.lit("")) if isinstance(x, Column) else x for x in parts
+    ]
+    return F.concat(*safe)
 
 
 def to_geojson(

@@ -43,7 +43,8 @@ def _read_dbf(path: str) -> tuple[list[str], list[list]]:
     for _ in range(n_records):
         rec = data[pos:pos + record_size]
         pos += record_size
-        if rec[:1] == b"*":  # deleted
+        if rec[:1] == b"*":  # deleted: placeholder keeps .shp index alignment
+            rows.append(None)
             continue
         off, vals = 1, []
         for name, ftype, flen, fdec in fields:
@@ -116,14 +117,19 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
     dbf = base + ".dbf"
     if os.path.exists(dbf):
         names, rows = _read_dbf(dbf)
-        data = [tuple(r) + (w,) for r, w in zip(rows, wkts)]
+        # deleted .dbf records keep a None placeholder so attributes stay
+        # paired with THEIR geometry; the pair is dropped together here
+        data = [tuple(r) + (w,) for r, w in zip(rows, wkts) if r is not None]
         cols = names + ["wkt"]
     else:
         data = [(w,) for w in wkts]
         cols = ["wkt"]
-    pdf_rows = data or [tuple([None] * len(cols))]
-    df = spark.createDataFrame(pdf_rows, cols)
-    return df if data else df.limit(0)
+    if not data:
+        # empty shapefile: all-None rows defeat type inference — return an
+        # explicitly-typed (all-string) empty frame
+        schema = ", ".join(f"`{c}` string" for c in cols)
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(data, cols)
 
 
 def write_shapefile_points(

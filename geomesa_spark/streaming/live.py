@@ -132,7 +132,11 @@ def live_snapshot(spark, table: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("id").orderBy(F.col("ts").desc_nulls_last())
+    # ties on ts prefer the tombstone (alive=False first): a delete/expiry
+    # emitted with the same event time as the create it supersedes must win
+    w = Window.partitionBy("id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("alive").asc()
+    )
     latest = (
         df.filter(F.col("id") != CLEAR_MARKER)
         .withColumn("__rn", F.row_number().over(w))
@@ -164,9 +168,14 @@ def live_view(message_stream: DataFrame, ttl_seconds: float = 300.0) -> DataFram
 
     def update(key, batches, state: GroupState):
         if state.hasTimedOut:
+            # carry the expired entry's event time on the tombstone: a
+            # ts=None tombstone sorts LAST under the snapshot's ts-desc
+            # window and the stale create row would resurrect
+            old = state.get if state.exists else None
             state.remove()
             yield pd.DataFrame(
-                {"id": [key[0]], "lon": [None], "lat": [None], "ts": [None], "alive": [False]}
+                {"id": [key[0]], "lon": [None], "lat": [None],
+                 "ts": [old[2] if old else None], "alive": [False]}
             )
             return
         if key[0] is None:
@@ -189,19 +198,24 @@ def live_view(message_stream: DataFrame, ttl_seconds: float = 300.0) -> DataFram
             return
         last = None
         deleted = False
+        del_ts = None
         for pdf in batches:
             pdf = pdf.sort_values("offset")
             for _, row in pdf.iterrows():
                 if row["kind"] in ("delete", "clear"):
                     deleted = True
                     last = None
+                    del_ts = row["ts"]
                 elif row["kind"] == "create":
                     deleted = False
                     last = (row["lon"], row["lat"], row["ts"])
         if deleted and last is None:
             state.remove()
+            # tombstone carries the delete's event time so it outranks the
+            # earlier create in the snapshot window (cross-batch deletes)
             yield pd.DataFrame(
-                {"id": [key[0]], "lon": [None], "lat": [None], "ts": [None], "alive": [False]}
+                {"id": [key[0]], "lon": [None], "lat": [None],
+                 "ts": [del_ts], "alive": [False]}
             )
         elif last is not None:
             state.update(last)

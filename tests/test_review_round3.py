@@ -219,3 +219,116 @@ def test_descriptive_stats_constant_large_group_std_zero(spark):
     [r] = descriptive_stats(df, "g", "v").collect()
     assert r["std"] == 0.0  # decimal cancellation: exactly zero, not NaN
     assert abs(r["mean"] - 1234567.891) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# fourth review batch
+# ---------------------------------------------------------------------------
+
+def test_live_delete_in_later_batch_does_not_resurrect(spark, tmp_path):
+    """A delete arriving in a LATER micro-batch than its create must win in
+    live_snapshot: the tombstone now carries the delete's event time."""
+    from geomesa_spark.streaming.live import live_snapshot, live_view
+
+    src = tmp_path / "live_src"
+    os.makedirs(src)
+    schema = "offset long, kind string, id string, lon double, lat double, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = [(0, "create", "a", 1.0, 1.0, t0),
+          (1, "create", "b", 2.0, 2.0, t0 + dt.timedelta(seconds=1))]
+    b2 = [(2, "delete", "a", None, None, t0 + dt.timedelta(minutes=1))]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / name))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    q = (
+        live_view(stream, ttl_seconds=3600)
+        .writeStream.format("memory").queryName("live_del_state")
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_live"))
+        .start()
+    )
+    q.awaitTermination(60)
+    state = {r["id"] for r in live_snapshot(spark, "live_del_state").collect()}
+    assert state == {"b"}  # 'a' was deleted in a later batch: no resurrection
+
+
+def test_cli_spec_positional_fields_offset(spark, tmp_path, capsys):
+    """$1 in a CLI converter spec means the FIRST csv field ($0 = raw line)."""
+    from geomesa_spark.cli import main
+
+    catalog = str(tmp_path / "cat2")
+    f = tmp_path / "d.csv"
+    f.write_text("7,3.5,4.5\n8,bad,5.5\n")
+    assert main(["create", "--catalog", catalog, "--name", "t2",
+                 "--lon", "lon", "--lat", "lat", "--fid", "fid"]) == 0
+    assert main([
+        "ingest", "--catalog", catalog, "--name", "t2", "--file", str(f),
+        "--format", "csv", "--fields", "fid,lon,lat",
+        "--spec", "fid = $1", "--spec", "lon = toDouble($2)",
+        "--spec", "lat = toDouble($3)",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "ingested 2 features" in out
+    data = os.path.join(catalog, "t2", "data")
+    rows = {r["fid"]: (r["lon"], r["lat"])
+            for r in spark.read.parquet(data).select("fid", "lon", "lat").collect()}
+    assert rows["7"] == (3.5, 4.5)
+    assert rows["8"][0] is None  # 'bad' -> NULL, job not aborted
+
+
+def test_shapefile_deleted_record_alignment(spark, tmp_path):
+    """A dbf-deleted record must drop WITH its geometry — attributes never
+    shift onto the wrong shape."""
+    from geomesa_spark.sources.shapefile import read_shapefile, write_shapefile_points
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0, "first"), (2.0, 20.0, "second"), (3.0, 30.0, "third")],
+        "lon double, lat double, name string",
+    )
+    base = str(tmp_path / "pts")
+    write_shapefile_points(df.orderBy("lon"), base + ".shp", attrs=["name"])
+    # flag record 0 deleted in the .dbf (header_size at bytes 8-9)
+    import struct as _s
+
+    dbf = bytearray((tmp_path / "pts.dbf").read_bytes())
+    header_size = _s.unpack("<H", dbf[8:10])[0]
+    dbf[header_size] = ord("*")
+    (tmp_path / "pts.dbf").write_bytes(bytes(dbf))
+
+    out = read_shapefile(spark, base + ".shp").collect()
+    got = {r["NAME"]: r["wkt"] for r in out}  # dbf upper-cases field names
+    assert set(got) == {"second", "third"}
+    assert "2" in got["second"] and "3" in got["third"]  # paired correctly
+
+
+def test_shapefile_empty_roundtrip(spark, tmp_path):
+    from geomesa_spark.sources.shapefile import read_shapefile, write_shapefile_points
+
+    df = spark.createDataFrame([], "lon double, lat double, name string")
+    base = str(tmp_path / "empty")
+    write_shapefile_points(df, base + ".shp", attrs=["name"])
+    out = read_shapefile(spark, base + ".shp")
+    assert out.count() == 0
+    assert "wkt" in out.columns
+
+
+def test_gml_null_property_keeps_row(spark):
+    from geomesa_spark.sources.convert import to_gml
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0, None), (2, 3.0, 4.0, "x")],
+        "fid long, lon double, lat double, name string",
+    )
+    lines = [r["g"] for r in df.select(
+        to_gml(df, id_col="fid", props=["name"]).alias("g")).collect()]
+    assert all(l is not None for l in lines)
+    assert "<name></name>" in lines[0] and "<name>x</name>" in lines[1]
+
+
+def test_cql_parenthesis_free_geometry_is_parse_error(spark):
+    from geomesa_spark.plans.predicates import parse_cql
+
+    with pytest.raises(ValueError, match="geometry literal"):
+        parse_cql("INTERSECTS(geom, POINT EMPTY)")
