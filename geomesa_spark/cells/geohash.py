@@ -42,7 +42,16 @@ def _interleave_lonlat(lon: np.ndarray, lat: np.ndarray, bits: int) -> np.ndarra
 
 
 def geohash_int(lon, lat, precision: int) -> np.ndarray:
-    """uint64 cell id at `precision` chars: (value << 6) | bits."""
+    """uint64 cell id at `precision` chars: (value << 6) | bits.
+
+    Max precision 11 (55 bits + the 6 tag bits fit a uint64); precision
+    12 would need 66 bits and silently wrap, colliding distant cells.
+    """
+    if precision > 11:
+        raise ValueError(
+            "geohash_int supports precision <= 11 (60+6 bits overflows "
+            "uint64); use geohash_encode strings for precision 12"
+        )
     bits = precision * 5
     v = _interleave_lonlat(lon, lat, bits)
     return (v << _U(6)) | _U(bits)
@@ -112,14 +121,16 @@ def geohash_cover_bbox(lon_min, lat_min, lon_max, lat_max, precision: int,
     enumeration would exceed ``max_cells``.
     """
     while precision > 1:
-        cells = _enumerate_bbox(lon_min, lat_min, lon_max, lat_max, precision)
+        cells = _enumerate_bbox(lon_min, lat_min, lon_max, lat_max, precision,
+                                max_cells)
         if cells is not None and len(cells) <= max_cells:
             return cells
         precision -= 1
-    return _enumerate_bbox(lon_min, lat_min, lon_max, lat_max, 1) or []
+    return _enumerate_bbox(lon_min, lat_min, lon_max, lat_max, 1, max_cells) or []
 
 
-def _enumerate_bbox(lon_min, lat_min, lon_max, lat_max, precision: int):
+def _enumerate_bbox(lon_min, lat_min, lon_max, lat_max, precision: int,
+                    max_cells: int = 1 << 22):
     bits = precision * 5
     nlon = (bits + 1) // 2
     nlat = bits // 2
@@ -127,8 +138,10 @@ def _enumerate_bbox(lon_min, lat_min, lon_max, lat_max, precision: int):
     x1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * (1 << nlon)), 0, (1 << nlon) - 1))
     y0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * (1 << nlat)), 0, (1 << nlat) - 1))
     y1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * (1 << nlat)), 0, (1 << nlat) - 1))
+    # count-first bail: a rejected precision must cost arithmetic, not a
+    # multi-million-cell meshgrid + string encode that the caller discards
     n = (x1 - x0 + 1) * (y1 - y0 + 1)
-    if n > 1 << 22:
+    if n > max_cells:
         return None
     xs = np.arange(x0, x1 + 1, dtype=np.int64)
     ys = np.arange(y0, y1 + 1, dtype=np.int64)

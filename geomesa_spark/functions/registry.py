@@ -45,7 +45,11 @@ def resolve_function(name: str) -> Callable[..., Column]:
 register("stripQuotes")(lambda c: F.regexp_replace(c, "^['\"]|['\"]$", ""))
 register("strlen")(lambda c: F.length(c))
 register("trim")(lambda c: F.trim(c))
-register("capitalize")(lambda c: F.initcap(c))
+# reference StringUtils.capitalize: FIRST character only (initcap would
+# title-case every word and lowercase the rest)
+register("capitalize")(
+    lambda c: F.concat(F.upper(F.substring(_c(c), 1, 1)), F.substring(_c(c), 2, 2147483647))
+)
 register("lowercase")(lambda c: F.lower(c))
 register("uppercase")(lambda c: F.upper(c))
 register("regexReplace")(lambda pattern, repl, c: F.regexp_replace(c, pattern, repl))
@@ -57,25 +61,33 @@ register("substring")(lambda c, a, b: F.substring(c, a + 1, b - a))
 # --- casts (Transformers.scala:46-47,120-129) -------------------------------
 # try_cast throughout: converter casts must yield NULL on malformed input
 # (drop-bad-record semantics), not abort the job under Spark 4 ANSI mode
-register("toInt")(lambda c: c.try_cast("int"))
-register("toLong")(lambda c: c.try_cast("long"))
-register("toDouble")(lambda c: c.try_cast("double"))
-register("toFloat")(lambda c: c.try_cast("float"))
-register("toBoolean")(lambda c: c.try_cast("boolean"))
+register("toInt")(lambda c: _c(c).try_cast("int"))
+register("toLong")(lambda c: _c(c).try_cast("long"))
+register("toDouble")(lambda c: _c(c).try_cast("double"))
+register("toFloat")(lambda c: _c(c).try_cast("float"))
+register("toBoolean")(lambda c: _c(c).try_cast("boolean"))
 
 # --- dates (Transformers.scala:240-267) -------------------------------------
 register("now")(lambda: F.current_timestamp())
-register("date")(lambda fmt, c: F.to_timestamp(c, fmt))
-register("isodate")(lambda c: F.to_timestamp(c, "yyyyMMdd"))
-register("isodatetime")(lambda c: F.to_timestamp(c, "yyyyMMdd'T'HHmmss.SSSX"))
-register("basicDateTimeNoMillis")(lambda c: F.to_timestamp(c, "yyyyMMdd'T'HHmmssX"))
-register("dateHourMinuteSecondMillis")(lambda c: F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss.SSS"))
-register("millisToDate")(lambda c: F.timestamp_millis(c.cast("long")))
-register("secsToDate")(lambda c: F.timestamp_seconds(c.cast("long")))
+# try_to_timestamp / try_cast: one malformed date must yield NULL, not
+# abort the ingest under ANSI (same policy as the numeric casts above)
+register("date")(lambda fmt, c: F.try_to_timestamp(_c(c), F.lit(fmt)))
+register("isodate")(lambda c: F.try_to_timestamp(_c(c), F.lit("yyyyMMdd")))
+register("isodatetime")(lambda c: F.try_to_timestamp(_c(c), F.lit("yyyyMMdd'T'HHmmss.SSSX")))
+register("basicDateTimeNoMillis")(lambda c: F.try_to_timestamp(_c(c), F.lit("yyyyMMdd'T'HHmmssX")))
+register("dateHourMinuteSecondMillis")(
+    lambda c: F.try_to_timestamp(_c(c), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+)
+register("millisToDate")(lambda c: F.timestamp_millis(_c(c).try_cast("long")))
+register("secsToDate")(lambda c: F.timestamp_seconds(_c(c).try_cast("long")))
 
 # --- geometry (Transformers.scala:269-277) ----------------------------------
-register("point")(lambda x, y: F.struct(x.cast("double").alias("lon"), y.cast("double").alias("lat")))
-register("wktPoint")(lambda x, y: F.format_string("POINT (%s %s)", x.cast("string"), y.cast("string")))
+register("point")(
+    lambda x, y: F.struct(_c(x).cast("double").alias("lon"), _c(y).cast("double").alias("lat"))
+)
+register("wktPoint")(
+    lambda x, y: F.format_string("POINT (%s %s)", _c(x).cast("string"), _c(y).cast("string"))
+)
 
 # --- id / hash (Transformers.scala:279-294) ----------------------------------
 register("string2bytes")(lambda c: F.encode(c, "UTF-8"))
@@ -121,7 +133,9 @@ def _reduce_bool(cs, is_and: bool):
 
 
 # --- lists / strings (Transformers list+string extras) -----------------------
-register("toList")(lambda c, sep: F.split(_c(c), sep))
+# literal separator, not a regex: '|' or '.' as a raw F.split pattern
+# would split every character (the batch converter quotes the same way)
+register("toList")(lambda c, sep: F.split(_c(c), "\\Q" + sep + "\\E"))
 register("listItem")(lambda c, i: _c(c).getItem(i))
 register("listLen")(lambda c: F.size(_c(c)))
 register("mkstring")(lambda c, sep: F.array_join(_c(c), sep))

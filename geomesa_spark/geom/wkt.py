@@ -25,7 +25,10 @@ class Geometry:
     parts: list = field(default_factory=list)
 
     def bbox(self) -> tuple[float, float, float, float]:
-        if self.kind == "MULTIPOLYGON" or self.kind.startswith("MULTI"):
+        # branch on how the geometry is STORED, not on its kind string:
+        # MULTIPOINT/MULTILINESTRING live in rings with parts=[] — a
+        # kind-based MULTI* test would min() over an empty sequence
+        if self.parts:
             boxes = [p.bbox() for p in self.parts]
             return (
                 min(b[0] for b in boxes),
@@ -64,6 +67,12 @@ class Geometry:
             return "MULTIPOLYGON (" + ", ".join(
                 "(" + ", ".join(ring(r) for r in p.rings) + ")" for p in self.parts
             ) + ")"
+        if self.kind == "MULTIPOINT":
+            pts = self.rings[0]
+            return "MULTIPOINT (" + ", ".join(
+                f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
+        if self.kind == "MULTILINESTRING":
+            return "MULTILINESTRING (" + ", ".join(ring(r) for r in self.rings) + ")"
         raise ValueError(self.kind)
 
 

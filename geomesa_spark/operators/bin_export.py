@@ -24,6 +24,23 @@ from geomesa_spark.functions.zexpr import epoch_seconds
 from geomesa_spark.plans.compiler import GeoTable
 
 
+def _track_hash_expr(track):
+    """ONE 32-bit track hash for both the logical rows and the packed
+    blobs (xxhash64 folded to int32 range) — consumers can join unpacked
+    record bytes back to ``bin_records`` rows on it."""
+    return (F.xxhash64(track.cast("string")) % F.lit(2147483647)).cast("int")
+
+
+def _wrap_int32(secs):
+    """Epoch seconds with explicit int32 wraparound — post-2038 timestamps
+    truncate like the packed <i4 field (and like numpy ``astype``) instead
+    of aborting the job under ANSI overflow checking."""
+    return (
+        F.pmod(secs + F.lit(2_147_483_648), F.lit(4_294_967_296))
+        - F.lit(2_147_483_648)
+    ).cast("int")
+
+
 def bin_records(table: GeoTable, track_col: str, total_sort: bool = False) -> DataFrame:
     """The logical BIN projection: (track_hash, secs, lat, lon), time-sorted
     per partition by default — a global sort is an all-to-one range shuffle
@@ -40,10 +57,8 @@ def bin_records(table: GeoTable, track_col: str, total_sort: bool = False) -> Da
     """
     out = table.df.select(
         F.col(track_col).alias("track"),
-        (F.xxhash64(F.col(track_col).cast("string")) % F.lit(2147483647))
-        .cast("int")
-        .alias("track_hash"),
-        epoch_seconds(F.col(table.dtg)).cast("int").alias("secs"),
+        _track_hash_expr(F.col(track_col)).alias("track_hash"),
+        _wrap_int32(epoch_seconds(F.col(table.dtg))).alias("secs"),
         F.col(table.lat).cast("float").alias("lat"),
         F.col(table.lon).cast("float").alias("lon"),
     )
@@ -53,17 +68,26 @@ def bin_records(table: GeoTable, track_col: str, total_sort: bool = False) -> Da
 
 
 def bin_pack(table: GeoTable, track_col: str, label_col: str | None = None) -> DataFrame:
-    """One packed blob per track: rows sorted by time, 16 B (or 24 B) each."""
+    """One packed blob per track: rows sorted by time, 16 B (or 24 B) each.
+
+    Rows with a null track or null dtg are dropped up front (a null key
+    would poison a whole group; a null time has no defined slot in the
+    fixed-width record). The per-record hash is :func:`_track_hash_expr`
+    — the SAME value ``bin_records`` emits, so the two forms join.
+    """
     width = 24 if label_col else 16
     cols = [
         F.col(track_col).cast("string").alias("track"),
-        epoch_seconds(F.col(table.dtg)).alias("secs"),
+        _track_hash_expr(F.col(track_col)).alias("track_hash"),
+        _wrap_int32(epoch_seconds(F.col(table.dtg))).alias("secs"),
         F.col(table.lat).cast("double").alias("lat"),
         F.col(table.lon).cast("double").alias("lon"),
     ]
     if label_col:
         cols.append(F.col(label_col).cast("long").alias("label"))
-    src = table.df.select(*cols)
+    src = table.df.select(*cols).filter(
+        F.col("track").isNotNull() & F.col("secs").isNotNull()
+    )
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("secs", kind="mergesort")
@@ -72,9 +96,7 @@ def bin_pack(table: GeoTable, track_col: str, label_col: str | None = None) -> D
             [("h", "<i4"), ("t", "<i4"), ("lat", "<f4"), ("lon", "<f4")]
             + ([("label", "<i8")] if label_col else [])
         ))
-        import zlib
-
-        rec["h"] = np.int32(zlib.crc32(key[0].encode()) & 0x7FFFFFFF)
+        rec["h"] = np.int32(pdf["track_hash"].iloc[0])
         rec["t"] = pdf["secs"].to_numpy().astype(np.int64).astype(np.int32)
         rec["lat"] = pdf["lat"].to_numpy()
         rec["lon"] = pdf["lon"].to_numpy()

@@ -209,11 +209,23 @@ def _lower_residual(t: GeoTable, pred: P.Pred) -> Column:
         # point rows: WITHIN(point, polygon) and INTERSECTS coincide
         # (boundary-inclusive PIP; fixtures avoid exact-boundary points —
         # FLT/package.scala:275-287 accepted-predicate set)
-        b = pred.geom.bbox()
+        g = pred.geom
+        if g.kind in ("POINT", "MULTIPOINT"):
+            # point row vs point literal(s): exact coordinate equality —
+            # pure codegen, no UDF
+            eq = None
+            for px, py in g.rings[0]:
+                c = (lon == F.lit(float(px))) & (lat == F.lit(float(py)))
+                eq = c if eq is None else (eq | c)
+            return eq if eq is not None else F.lit(False)
+        b = g.bbox()
         coarse = lon.between(b[0], b[2]) & lat.between(b[1], b[3])
-        if _is_axis_aligned_box(pred.geom):
+        if g.kind in ("LINESTRING", "MULTILINESTRING"):
+            # point intersects a lineal geometry iff it lies on the path
+            return coarse & _boundary_udf_factory(g.to_wkt())(lon, lat)
+        if _is_axis_aligned_box(g):
             return coarse
-        return coarse & _pip_udf_factory(pred.geom.to_wkt())(lon, lat)
+        return coarse & _pip_udf_factory(g.to_wkt())(lon, lat)
     if isinstance(pred, P.Contains):
         # row CONTAINS literal: a point row contains only an equal point
         if pred.geom.kind == "POINT":

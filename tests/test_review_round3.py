@@ -332,3 +332,79 @@ def test_cql_parenthesis_free_geometry_is_parse_error(spark):
 
     with pytest.raises(ValueError, match="geometry literal"):
         parse_cql("INTERSECTS(geom, POINT EMPTY)")
+
+
+# ---------------------------------------------------------------------------
+# fifth review batch
+# ---------------------------------------------------------------------------
+
+def test_multipoint_bbox_and_predicate(spark):
+    from geomesa_spark.geom.wkt import parse_wkt
+
+    assert parse_wkt("MULTIPOINT (0 0, 1 2)").bbox() == (0.0, 0.0, 1.0, 2.0)
+    assert parse_wkt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))").bbox() == (
+        0.0, 0.0, 3.0, 3.0)
+    # reachable through the query compiler
+    from geomesa_spark.plans.compiler import compile_query
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
+    t = as_geotable(df, dtg=None, fid="id")
+    got = compile_query(t, "INTERSECTS(geom, MULTIPOINT (0 0, 5 5))").df.collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_registry_literal_separator_and_casts(spark):
+    from geomesa_spark.functions.registry import resolve_function
+
+    df = spark.createDataFrame([("a|b.c", "n/a", "new YORK city", "20240105")],
+                               "s string, bad string, cap string, d string")
+    row = df.select(
+        resolve_function("toList")(F.col("s"), "|").alias("lst"),
+        resolve_function("toInt")(F.col("bad")).alias("bad_int"),
+        resolve_function("capitalize")(F.col("cap")).alias("cap"),
+        resolve_function("isodate")(F.col("bad")).alias("bad_date"),
+        resolve_function("isodate")(F.col("d")).alias("good_date"),
+        resolve_function("wktPoint")(-122.3, 47.6).alias("pt"),
+    ).collect()[0]
+    assert row["lst"] == ["a", "b.c"]          # literal '|', not regex
+    assert row["bad_int"] is None              # malformed -> NULL, no abort
+    assert row["cap"] == "New YORK city"       # first char only
+    assert row["bad_date"] is None
+    assert row["good_date"] is not None
+    assert row["pt"] == "POINT (-122.3 47.6)"  # numeric literals coerce
+
+
+def test_bin_pack_hash_matches_bin_records_and_null_safety(spark):
+    from geomesa_spark.operators.bin_export import bin_pack, bin_records
+    from geomesa_spark.plans.compiler import GeoTable
+    import struct as _s
+
+    rows = [
+        ("t1", 1.0, 2.0, dt.datetime(2024, 1, 1)),
+        ("t1", 1.5, 2.5, dt.datetime(2024, 1, 2)),
+        (None, 3.0, 4.0, dt.datetime(2024, 1, 3)),   # null track: dropped
+        ("t2", 5.0, 6.0, None),                      # null dtg: dropped
+        ("t2", 5.5, 6.5, dt.datetime(2040, 1, 1)),   # post-2038: wraps, no abort
+    ]
+    df = spark.createDataFrame(rows, "k string, lon double, lat double, dtg timestamp")
+    t = GeoTable(df=df, lon="lon", lat="lat", dtg="dtg", fid=None)
+    logical = {r["track"]: r["track_hash"] for r in bin_records(t, "k").collect()
+               if r["track"] is not None}
+    packed = {r["track"]: r for r in bin_pack(t, "k").collect()}
+    assert set(packed) == {"t1", "t2"}
+    assert packed["t1"]["n"] == 2 and packed["t2"]["n"] == 1
+    for trk in ("t1", "t2"):
+        h = _s.unpack("<i", bytes(packed[trk]["record_bytes"])[:4])[0]
+        assert h == logical[trk]  # ONE hash across logical + packed forms
+
+
+def test_geohash_precision_12_guard_and_cover_bail():
+    import numpy as np
+    from geomesa_spark.cells.geohash import geohash_cover_bbox, geohash_int
+
+    with pytest.raises(ValueError, match="11"):
+        geohash_int(np.array([0.0]), np.array([0.0]), 12)
+    # continent-scale bbox at deep precision: falls back without
+    # materializing millions of cells, result respects the cap
+    cells = geohash_cover_bbox(-120, 10, -60, 60, precision=7, max_cells=512)
+    assert 0 < len(cells) <= 512
