@@ -95,6 +95,8 @@ def seconds_in_week_expr(ts: Column) -> Column:
 
 def tile_id_expr(lon: Column, lat: Column, level: int) -> Column:
     """XYZ tile id as pure arithmetic (see cells/tiles.py for the scheme)."""
+    if not 0 <= level <= 26:
+        raise ValueError(f"tile level must be in [0, 26], got {level}")
     n = 1 << level
     x = _clip(F.floor((lon.cast("double") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long"), 0, n - 1)
     y = _clip(F.floor((F.lit(90.0) - lat.cast("double")) / F.lit(180.0) * F.lit(float(n))).cast("long"), 0, n - 1)

@@ -24,6 +24,11 @@ def _hash_params(n_hashes: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
     b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    # ODD multipliers: the products wrap mod 2^64 long before the final
+    # % _MERSENNE fold, so the effective family is multiply-shift in the
+    # 2^64 ring — x -> a*x is only injective there when a is odd (an even
+    # a halves the image and doubles collision rates)
+    a |= 1
     return a, b
 
 
@@ -78,7 +83,8 @@ def minhash_signatures(
         out = []
         for t in texts:
             sh = _shingle_hashes(t or "", shingle_words)
-            # (a*x + b) mod p for all hash funcs x shingles -> min per func
+            # odd-multiplier multiply-shift: a*x + b wraps mod 2^64
+            # (injective per hash since a is odd), then folds % _MERSENNE
             vals = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
@@ -122,6 +128,11 @@ def minhash_lsh_pairs(
     assumption is too strong. (:func:`simhash_near_pairs` additionally
     sub-splits its over-cap buckets because its 16-bit chunk space makes
     them routine; MinHash's 64-bit band-hash space makes them rare.)
+
+    Memory note: the signature table persists for the SparkSession's
+    lifetime (it is read twice: band explode + pair re-attach). Pipelines
+    managing executor storage across many calls should pass
+    ``precomputed_sigs`` and own the persistence lifecycle.
     """
     rows_per_band = n_hashes // bands
     sigs = (
@@ -241,6 +252,12 @@ def simhash_near_pairs(
     hub is NOT emitted — recovering it is exactly the O(B^2) join the cap
     exists to avoid. Raise ``bucket_cap`` to trade cost for that recall.
     """
+    if max_hamming > 3:
+        # 4-chunk banding only guarantees a shared chunk for hamming <= 3
+        # (pigeonhole); accepting a larger bound would silently lose pairs
+        raise ValueError(
+            f"max_hamming must be <= 3 with 4-chunk banding, got {max_hamming}"
+        )
     sigs = (
         precomputed_sigs
         if precomputed_sigs is not None
@@ -460,16 +477,19 @@ def synth_dedup_corpus(spark, n_groups: int, mutate: int = 0) -> DataFrame:
     made crc32/adler32-derived SimHashes collide across groups). All
     generation is whole-stage-codegen expressions over ``spark.range``.
     """
+    if not 0 <= mutate <= 60:
+        raise ValueError(f"mutate must be in [0, 60], got {mutate}")
     df = spark.range(0, 3 * n_groups)
     g = (F.col("id") / 3).cast("long")
     role = F.col("id") % 3
-    stride = 60 // mutate if mutate else 0
+    # exactly `mutate` evenly-spread replacement positions (the stride
+    # trick replaced ceil(60/(60//m)) tokens and divided by zero at m>60)
+    mut_pos = {i * 60 // mutate for i in range(mutate)} if mutate else set()
 
     def tok(j):
+        is_mut = j.isin(*sorted(mut_pos)) if mut_pos else F.lit(False)
         salt = F.when(role == 2, F.lit(2)).otherwise(
-            F.when((role == 1) & (j % stride == 0), F.lit(1)).otherwise(F.lit(0))
-            if mutate
-            else F.lit(0)
+            F.when((role == 1) & is_mut, F.lit(1)).otherwise(F.lit(0))
         )
         v = g * 73856093 + j * 19349663 + salt * 83492791 + 17
         h1 = (v * 48271) % 2147483647

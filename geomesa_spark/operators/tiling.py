@@ -83,18 +83,12 @@ def raster_query_cells(
     neighbors** (the planner enumerates bbox hashes + neighbors so chunks
     whose extent bleeds over a cell edge are fetched —
     ``AccumuloRasterQueryPlanner.getQueryPlan:49``)."""
-    from geomesa_spark.cells.tiles import tile_xy
+    from geomesa_spark.cells.tiles import tiles_for_bbox
 
-    import numpy as np
-
-    n = 1 << level
-    x0, y1 = tile_xy(np.array([bbox[0]]), np.array([bbox[1]]), level)
-    x1, y0 = tile_xy(np.array([bbox[2]]), np.array([bbox[3]]), level)
-    xs = np.arange(max(0, x0[0] - 1), min(n - 1, x1[0] + 1) + 1)
-    ys = np.arange(max(0, y0[0] - 1), min(n - 1, y1[0] + 1) + 1)
-    gx, gy = np.meshgrid(xs, ys)
-    ids = np.int64(level) * np.int64(1 << 52) + gx.ravel() * np.int64(1 << 26) + gy.ravel()
-    return [int(v) for v in ids]
+    # canonical enumeration + one-cell neighbor expansion (one tile-id
+    # packing implementation repo-wide; antimeridian boxes split there)
+    return [int(v) for v in
+            tiles_for_bbox(bbox[0], bbox[1], bbox[2], bbox[3], level, expand=1)]
 
 
 def raster_query(

@@ -51,6 +51,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = [n for n in (only or []) if n not in qs]
+    if unknown:
+        # a misspelled name must not produce a green gate that checked nothing
+        print(f"FAIL unknown query name(s): {unknown}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -100,7 +105,6 @@ def main() -> int:
         if mismatch:
             failures.append(name)
             print(f"FAIL {name}: {mismatch} ({len(s)} rows)")
-            ne = None
         else:
             print(f"ok   {name}: {len(s)} rows match exactly ({time.time()-t0:.1f}s)")
 

@@ -408,3 +408,71 @@ def test_geohash_precision_12_guard_and_cover_bail():
     # materializing millions of cells, result respects the cap
     cells = geohash_cover_bbox(-120, 10, -60, 60, precision=7, max_cells=512)
     assert 0 < len(cells) <= 512
+
+
+# ---------------------------------------------------------------------------
+# sixth review batch
+# ---------------------------------------------------------------------------
+
+def test_tiles_for_bbox_antimeridian_and_level_guard():
+    from geomesa_spark.cells.tiles import tile_id, tiles_for_bbox
+
+    cells = tiles_for_bbox(170.0, -10.0, -170.0, 10.0, 5)
+    assert cells  # naive range enumeration would be empty
+    west = int(tile_id(np.array([175.0]), np.array([0.0]), 5)[0])
+    east = int(tile_id(np.array([-175.0]), np.array([0.0]), 5)[0])
+    assert west in cells and east in cells
+    # a mid-pacific-free cell is NOT included (two disjoint ranges, not all)
+    mid = int(tile_id(np.array([0.0]), np.array([0.0]), 5)[0])
+    assert mid not in cells
+    with pytest.raises(ValueError, match="26"):
+        tiles_for_bbox(0, 0, 1, 1, 27)
+    from geomesa_spark.functions.zexpr import tile_id_expr
+
+    with pytest.raises(ValueError, match="26"):
+        tile_id_expr(F.lit(0.0), F.lit(0.0), 27)
+
+
+def test_raster_query_cells_antimeridian():
+    from geomesa_spark.cells.tiles import tile_id
+    from geomesa_spark.operators.tiling import raster_query_cells
+
+    cells = raster_query_cells((170.0, -10.0, -170.0, 10.0), 5)
+    west = int(tile_id(np.array([175.0]), np.array([0.0]), 5)[0])
+    assert west in cells
+
+
+def test_simhash_max_hamming_guard(spark):
+    from geomesa_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(df, "text", "doc_id", max_hamming=4)
+
+
+def test_synth_corpus_mutate_exact_count(spark):
+    from geomesa_spark.operators.dedup import synth_dedup_corpus
+
+    base = synth_dedup_corpus(spark, n_groups=2, mutate=0).collect()
+    mut = synth_dedup_corpus(spark, n_groups=2, mutate=7).collect()
+    b = {r["doc_id"]: r["text"].split() for r in base}
+    m = {r["doc_id"]: r["text"].split() for r in mut}
+    for g in range(2):
+        # role-1 doc differs from the role-0 doc in EXACTLY `mutate` tokens
+        diffs = sum(x != y for x, y in zip(m[3 * g], m[3 * g + 1]))
+        assert diffs == 7, diffs
+    with pytest.raises(ValueError, match="mutate"):
+        synth_dedup_corpus(spark, 1, mutate=61)
+
+
+def test_check_oracle_unknown_name_fails():
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "scripts/check_oracle.py", "/root/testdata/sf0.001",
+         "zz_not_a_query"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "unknown query name" in r.stdout
