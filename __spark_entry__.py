@@ -289,13 +289,7 @@ def _q_bbox_geoms(spark, sf_dir):
     """BBOX over non-point geometry rows through the cell-decomposed layout
     (explode per cover cell, cell-range prune, exact kernel on straddlers,
     id dedupe — STIndexEntry.scala:43-61 / IndexSchema.scala:298-307)."""
-    import os
-
-    from geomesa_spark.sources.geom_layout import (
-        query_geom_bbox,
-        read_geom_layout,
-        write_geom_layout,
-    )
+    from geomesa_spark.sources.geom_layout import query_geom_bbox
 
     lay = _geom_layout(_utc(spark), sf_dir)
     return query_geom_bbox(lay, _GEOM_BOX, fid="event_id").select("event_id")
@@ -458,8 +452,7 @@ def _q_surface(spark, sf_dir):
     cells = t.df.select(
         tile_id_expr(F.col("lon"), F.col("lat"), 6).alias("cell"), "value"
     )
-    return surface(GeoTable(cells, lon="lon", lat="lat", dtg=None, fid=None),
-                   "cell", "value")
+    return surface(cells, "cell", "value")
 
 
 def _q_tile_rollup(spark, sf_dir):
@@ -680,7 +673,14 @@ def _q_embed_dedup(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     from geomesa_spark.operators.dedup import ngram_jaccard_exact
 
-    return ngram_jaccard_exact(_docs(_utc(spark), sf_dir), "text", "doc_id", n=3, threshold=0.4)
+    # max_gram_df=None: the oracle computes UNGUARDED exact Jaccard, so the
+    # engine must too — the hot-gram cap is the production default, but a
+    # capped engine vs an uncapped oracle would diverge the moment any gram
+    # exceeded the cap's document frequency (per the operator's docstring)
+    return ngram_jaccard_exact(
+        _docs(_utc(spark), sf_dir), "text", "doc_id", n=3, threshold=0.4,
+        max_gram_df=None,
+    )
 
 
 def _messages(spark, sf_dir):
@@ -1024,7 +1024,15 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_fingerprint(spark, sf_dir):
-    return fingerprint(_docs(_utc(spark), sf_dir), "text", "doc_id")
+    # the SQL twin's gram positions (generate_series(1, len-15)) vanish for
+    # docs whose normalized text is under the 16-char window, while the
+    # engine hashes a shorter gram — filter symmetrically so the driver row
+    # is well-defined (short-doc engine semantics stay pytest-covered)
+    docs = _docs(_utc(spark), sf_dir).filter(
+        F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+        >= 16
+    )
+    return fingerprint(docs, "text", "doc_id")
 
 
 def _url_pages(spark, sf_dir):

@@ -220,6 +220,11 @@ def count_by_day(table: GeoTable) -> DataFrame:
     )
 
 
-def surface(table: GeoTable, cell_col: str, value_col: str) -> DataFrame:
-    """Per-cell max surface (``ACC/iterators/SurfaceAggregatingIterator``)."""
-    return table.df.groupBy(cell_col).agg(F.max(value_col).alias("vmax"))
+def surface(table, cell_col: str, value_col: str) -> DataFrame:
+    """Per-cell max surface (``ACC/iterators/SurfaceAggregatingIterator``).
+
+    Accepts a GeoTable or a plain cellized DataFrame — the aggregation
+    needs only (cell, value), no geometry roles.
+    """
+    df = table.df if isinstance(table, GeoTable) else table
+    return df.groupBy(cell_col).agg(F.max(value_col).alias("vmax"))

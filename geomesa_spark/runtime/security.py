@@ -126,11 +126,14 @@ def visibility_filter(
     (still one evaluation per distinct marking, no per-row Python).
     """
     c: Column = F.col(vis_col)
-    distinct = [
-        r[0]
-        for r in df.select(vis_col).distinct().limit(max_vocabulary + 1).collect()
-    ]
+    # ONE distinct aggregation, persisted: the overflow probe and the
+    # fallback path below both read it — recomputing the distinct (a full
+    # shuffle of the table's vis column) just because the cap tripped
+    # would double the heaviest pass
+    distinct_df = df.select(c.alias("__vis")).distinct().persist()
+    distinct = [r[0] for r in distinct_df.limit(max_vocabulary + 1).collect()]
     if len(distinct) <= max_vocabulary:
+        distinct_df.unpersist()
         visible = [
             v for v in distinct
             if v not in (None, "") and _visible_or_false(v, auths)
@@ -148,7 +151,9 @@ def visibility_filter(
 
     vis_udf = F.pandas_udf(_eval_batch, "boolean")
 
-    vocab = df.select(c.alias("__vis")).distinct().filter(vis_udf(F.col("__vis")))
+    vocab = distinct_df.filter(vis_udf(F.col("__vis")))
     # no broadcast hint: this branch only runs when the vocabulary exceeded
     # the cap, so the visible set may itself be too large to broadcast
+    # (distinct_df stays persisted for the join; it is the visible-set
+    # source and re-deriving it would repeat the distinct shuffle)
     return df.join(vocab, c.eqNullSafe(F.col("__vis")), "left_semi")

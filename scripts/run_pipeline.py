@@ -55,6 +55,23 @@ def main() -> None:
 
     work = args.work
     meta = os.path.join(work, "_meta")
+    # resume safety: checkpoints are keyed by stage name, so a work dir is
+    # only valid for ONE parameter set — re-running with different --docs
+    # against existing checkpoints would silently serve stale data labeled
+    # with the new parameters
+    params = {"docs": args.docs, "polys": args.polys}
+    os.makedirs(meta, exist_ok=True)
+    ppath = os.path.join(meta, "params.json")
+    if os.path.exists(ppath):
+        prev = json.load(open(ppath))
+        if prev != params:
+            raise SystemExit(
+                f"work dir {work} holds checkpoints for {prev}, requested "
+                f"{params}; use a fresh --work dir (or delete this one)"
+            )
+    else:
+        with open(ppath, "w") as fh:
+            json.dump(params, fh)
     t_all = time.perf_counter()
 
     # stage 1: raw page table (stands in for the external crawl source)
@@ -81,13 +98,18 @@ def main() -> None:
     ).groupBy("poly_id", "tile_id").agg(
         F.count("*").alias("n"), F.sum("text_len").alias("text_bytes")
     )
+    ran_join = not os.path.exists(os.path.join(work, "poly_tiles", "_SUCCESS"))
     result = checkpoint_stage(tiles, work, "poly_tiles")
-    write_query_stat(meta, {
-        "query": "spatial_join+tile_assign",
-        "n_polys": args.polys,
-        "wall_s": round(time.perf_counter() - t0, 3),
-        "out_rows": result.count(),
-    })
+    n_result = result.count()
+    if ran_join:
+        # audit only executions: a resumed run skipped the join entirely, so
+        # a wall_s row here would record checkpoint-read time as join cost
+        write_query_stat(meta, {
+            "query": "spatial_join+tile_assign",
+            "n_polys": args.polys,
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "out_rows": n_result,
+        })
 
     # stages 4-5: the training-data text pipeline over the same pages —
     # quality/lang scoring then two-level dedup (exact + MinHash near-dup),
@@ -118,7 +140,7 @@ def main() -> None:
     # almost entirely — which is exactly the load profile they exist for.
     print(json.dumps({
         "docs": args.docs,
-        "result_rows": result.count(),
+        "result_rows": n_result,
         "docs_clean": deduped.sparkSession.read.parquet(
             os.path.join(work, "docs_clean")
         ).count(),
