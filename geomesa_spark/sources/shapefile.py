@@ -104,6 +104,15 @@ def _parse_shp(path: str) -> list[str]:
                     )
             else:
                 out.append("POLYGON (" + ", ".join(_ring_wkt(r) for r in rings) + ")")
+        elif stype == 8:  # multipoint
+            (n_points,) = struct.unpack("<i", body[36:40])
+            pts = [
+                struct.unpack("<2d", body[40 + 16 * i:40 + 16 * i + 16])
+                for i in range(n_points)
+            ]
+            out.append(
+                "MULTIPOINT (" + ", ".join(f"{x!r} {y!r}" for x, y in pts) + ")"
+            )
         else:
             raise ValueError(f"unsupported shapefile shape type {stype}")
     return out
@@ -170,24 +179,29 @@ def write_shapefile_points(
         f.write(header(50 + len(shp_records) // 2, 1) + shp_records)
     with open(base + ".shx", "wb") as f:
         f.write(header(50 + len(shx_records) // 2, 1) + shx_records)
+    _write_dbf(base, attrs or [], [list(r[2:]) for r in rows])
 
-    attrs = attrs or []
-    widths = []
-    for j, a in enumerate(attrs):
-        vals = [str(r[2 + j]) if r[2 + j] is not None else "" for r in rows]
-        widths.append(min(254, max(1, max((len(v) for v in vals), default=1))))
-    if not attrs:  # dbf needs >= 1 field
+
+def _write_dbf(base: str, attrs: list[str], recs_vals: list[list]) -> None:
+    """dBASE III sidecar: one "C" field per attr (stringified values), or a
+    synthetic numeric FID field when no attrs were requested (dbf requires
+    at least one field)."""
+    n = len(recs_vals)
+    if not attrs:
         attrs_meta = [("FID", "N", 9)]
-        recs = [[str(i)] for i in range(len(rows))]
+        recs = [[str(i)] for i in range(n)]
     else:
-        attrs_meta = [(a[:10].upper(), "C", w) for a, w in zip(attrs, widths)]
         recs = [
-            [str(r[2 + j]) if r[2 + j] is not None else "" for j in range(len(attrs))]
-            for r in rows
+            [str(v) if v is not None else "" for v in vals] for vals in recs_vals
         ]
+        widths = [
+            min(254, max(1, max((len(r[j]) for r in recs), default=1)))
+            for j in range(len(attrs))
+        ]
+        attrs_meta = [(a[:10].upper(), "C", w) for a, w in zip(attrs, widths)]
     record_size = 1 + sum(w for _, _, w in attrs_meta)
     header_size = 32 + 32 * len(attrs_meta) + 1
-    dbf = struct.pack("<B3BIHH20x", 3, 95, 1, 1, len(rows), header_size, record_size)
+    dbf = struct.pack("<B3BIHH20x", 3, 95, 1, 1, n, header_size, record_size)
     for name, ftype, w in attrs_meta:
         dbf += struct.pack(
             "<11sc4xBB14x", name.encode("ascii"), ftype.encode("ascii"), w, 0
@@ -202,3 +216,104 @@ def write_shapefile_points(
     dbf += b"\x1a"
     with open(base + ".dbf", "wb") as f:
         f.write(dbf)
+
+
+_KIND_TO_STYPE = {
+    "POINT": 1,
+    "LINESTRING": 3,
+    "MULTILINESTRING": 3,
+    "POLYGON": 5,
+    "MULTIPOLYGON": 5,
+    "MULTIPOINT": 8,
+}
+
+
+def _shape_body(geom) -> tuple[int, bytes]:
+    """One geometry -> (shape type, little-endian record content) per the
+    ESRI spec. Rings/parts are written in the order the WKT gives them
+    (the round-trip-exact choice; ring winding is the caller's concern,
+    as in the reference exporter which writes the geometry as-is)."""
+    if geom.kind == "POINT":
+        x, y = (float(v) for v in geom.rings[0][0])
+        return 1, struct.pack("<i2d", 1, x, y)
+    stype = _KIND_TO_STYPE[geom.kind]
+    if geom.kind == "MULTIPOLYGON":
+        rings = [r for p in geom.parts for r in p.rings]
+    else:
+        rings = geom.rings
+    x0, y0, x1, y1 = geom.bbox()
+    pts = [(float(x), float(y)) for r in rings for x, y in r]
+    if stype == 8:  # multipoint: bbox + npoints + points (no parts array)
+        body = struct.pack("<i4di", 8, x0, y0, x1, y1, len(pts))
+        for x, y in pts:
+            body += struct.pack("<2d", x, y)
+        return 8, body
+    offsets, acc = [], 0
+    for r in rings:
+        offsets.append(acc)
+        acc += len(r)
+    body = struct.pack("<i4d2i", stype, x0, y0, x1, y1, len(rings), len(pts))
+    body += struct.pack(f"<{len(offsets)}i", *offsets)
+    for x, y in pts:
+        body += struct.pack("<2d", x, y)
+    return stype, body
+
+
+def write_shapefile(
+    df: DataFrame,
+    path: str,
+    wkt: str = "wkt",
+    attrs: list[str] | None = None,
+) -> None:
+    """General shapefile export (.shp/.shx/.dbf) from a WKT column.
+
+    Parity with the reference's shapefile FeatureExporter
+    (``TLS/FeatureExporter.scala:62-96``), which exports arbitrary geometry
+    types: Point (1), PolyLine (3), Polygon (5), MultiPoint (8) records,
+    null (0) records for NULL wkt rows, attributes to the .dbf sidecar.
+    One shape type per file (ESRI spec); mixing non-null kinds that map to
+    different shape types raises. ``df`` is collected — export targets are
+    small result sets by design (the reference streams to one local file
+    too)."""
+    from geomesa_spark.geom.wkt import parse_wkt
+
+    rows = df.select(wkt, *(attrs or [])).collect()
+    geoms = [parse_wkt(r[0]) if r[0] is not None else None for r in rows]
+    shaped = [(_shape_body(g) if g is not None else (0, struct.pack("<i", 0)))
+              for g in geoms]
+    stypes = {s for s, _ in shaped if s != 0}
+    if len(stypes) > 1:
+        raise ValueError(f"mixed shape types in one shapefile: {sorted(stypes)}")
+    file_stype = stypes.pop() if stypes else 0
+    boxes = [g.bbox() for g in geoms if g is not None]
+    if boxes:
+        bbox = (
+            min(b[0] for b in boxes), min(b[1] for b in boxes),
+            max(b[2] for b in boxes), max(b[3] for b in boxes),
+        )
+    else:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+
+    def header(file_words: int) -> bytes:
+        return (
+            struct.pack(">i", 9994) + b"\x00" * 20
+            + struct.pack(">i", file_words)
+            + struct.pack("<ii", 1000, file_stype)
+            + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3], 0, 0, 0, 0)
+        )
+
+    shp_records = b""
+    shx_records = b""
+    offset_words = 50
+    for i, (_, body) in enumerate(shaped):
+        rec_words = len(body) // 2
+        shp_records += struct.pack(">ii", i + 1, rec_words) + body
+        shx_records += struct.pack(">ii", offset_words, rec_words)
+        offset_words += 4 + rec_words
+
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    with open(base + ".shp", "wb") as f:
+        f.write(header(50 + len(shp_records) // 2) + shp_records)
+    with open(base + ".shx", "wb") as f:
+        f.write(header(50 + len(shx_records) // 2) + shx_records)
+    _write_dbf(base, attrs or [], [list(r[1:]) for r in rows])
