@@ -648,7 +648,11 @@ def _q_ann_ivf(spark, sf_dir):
                 emb, n_cells=8, iters=2, sample_fraction=0.5
             )
             os.makedirs(_LAYOUT_CACHE, exist_ok=True)
-            _np.save(cpath, cents)
+            # tmp + os.replace, same discipline as _cached_table: a bare
+            # np.save lets a concurrent driver np.load a half-written file
+            tmp = f"{cpath}.{os.getpid()}.tmp.npy"
+            _np.save(tmp, cents)
+            os.replace(tmp, cpath)
         _IVF_CENTROID_MEMO["planted"] = cents
     qs = [
         (f"q{i}", [_emb_component(i, d) for d in range(_ANN_DIM)])

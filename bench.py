@@ -1,4 +1,13 @@
-"""Benchmark harness (driver-run; prints ONE JSON line on stdout).
+"""Benchmark harness (driver-run; prints ONE COMPACT JSON line on stdout).
+
+Artifact layout (round 4 change — round 3's 74-query stdout dict outgrew
+the driver's ~2 KB tail capture and the round recorded "parsed": null):
+
+* stdout: headline + scaling efficiencies + top-5 slowest queries (<1.5 KB);
+* BENCH/QUERIES_r{N}.json: the FULL result (all per-query timings, raw
+  spreads, query_compare, membw, covering ratios);
+* BENCH/HISTORY.jsonl: one cumulative record per round; any query >1.5x its
+  previous-round time is flagged on stderr and in the stdout "regressions".
 
 Pipeline under test mirrors the engine's two physical stages (SURVEY.md §7):
 
@@ -76,19 +85,38 @@ def bench_polys() -> list[tuple[str, str]]:
     return reference_polygons(32, 16)
 
 
-def _session(cpus: int):
+# The ingest transform allocates ~hundreds of MB/s/core of short-lived
+# UTF8String garbage; G1's default 5%-young heap forces a young collection
+# every few tens of ms at 32 threads, and those STW pauses are the largest
+# non-scaling component left in the 8->32 pair (measured: t32 min 8.9 s ->
+# 8.1 s on the 100M-doc transform with a 30-60% young gen; t8 unchanged).
+_GC_OPTS = (
+    "-XX:+UnlockExperimentalVMOptions "
+    "-XX:G1NewSizePercent=30 -XX:G1MaxNewSizePercent=60"
+)
+
+
+def _session(cpus: int, master: str | None = None):
     from pyspark.sql import SparkSession
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
+    b = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(f"bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", "24g")
+        .config("spark.driver.extraJavaOptions", _GC_OPTS)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        .config("spark.ui.showConsoleProgress", "false")
     )
+    if master and master.startswith("local-cluster"):
+        # separate executor JVMs (the closest one-box analog of real
+        # multi-executor deployment); memory per executor must be passed
+        # both in the master string and as executor.memory
+        b = (b.config("spark.executor.memory", "10g")
+              .config("spark.executor.extraJavaOptions", _GC_OPTS))
+    return b.getOrCreate()
 
 
 def _noop(df) -> None:
@@ -219,6 +247,88 @@ def query_compare_job(spark) -> dict:
     return out
 
 
+def _column_bytes(root: str, cols: set | None = None) -> int:
+    """Compressed on-disk bytes of the given columns across every file under
+    ``root`` (parquet footer metadata — the bytes a column-pruned scan
+    actually has to fetch on a disk-bound cluster)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if cols is None or c.path_in_schema in cols:
+                    total += c.total_compressed_size
+    return total
+
+
+def covering_compare() -> dict:
+    """The IndexValueEncoder win (ACC/index/IndexValueEncoder.scala:94-138):
+    queries that only need the covering index-value columns
+    (id, dtg, lon, lat) never fetch the full row. Reported as the measured
+    on-disk byte ratio between the covering projection and the full row on
+    the 50M layout — column pruning is free in parquet, but the claim in
+    SURVEY §2.2 should carry a number."""
+    covering = {"doc_id", "warc_ts", "lon", "lat"}
+    cov = _column_bytes(LAYOUT, covering)
+    full = _column_bytes(LAYOUT, None)
+    return {
+        "covering_mb": round(cov / 1e6, 1),
+        "full_mb": round(full / 1e6, 1),
+        "ratio": round(full / max(1, cov), 2),
+    }
+
+
+def membw_job() -> dict:
+    """Measured memory-bus ceiling of this box: aggregate streaming-copy
+    bandwidth (numpy copyto on 256 MB buffers; GIL released during each
+    copy) at 1 / LO / HI concurrent threads. A purely bandwidth-bound job's
+    best-possible LO->HI thread-scaling efficiency is (B_hi/B_lo)/(HI/LO);
+    pinning the measured curve in the artifact separates engine
+    serialization from one-box physics. Executor NODES each bring their own
+    bus, so the N->4N *node* criterion is not bounded by this number."""
+    import threading
+
+    import numpy as np
+
+    buf_mb, passes = 256, 8
+
+    def bw_at(threads: int) -> float:
+        n = buf_mb * 1024 * 1024 // 8
+        bufs = [(np.ones(n), np.empty(n)) for _ in range(threads)]
+        start = threading.Event()
+        out = [0.0] * threads
+
+        def worker(src, dst, i):
+            start.wait()
+            for _ in range(passes):
+                np.copyto(dst, src)
+            out[i] = 1.0
+
+        ts = [threading.Thread(target=worker, args=(s, d, i))
+              for i, (s, d) in enumerate(bufs)]
+        for t in ts:
+            t.start()
+        time.sleep(0.2)
+        t0 = time.perf_counter()
+        start.set()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        return threads * passes * 2 * buf_mb / 1024 / wall
+
+    res = {c: round(max(bw_at(c) for _ in range(3)), 1) for c in (1, LO, HI)}
+    return {
+        "gbps": {str(k): v for k, v in res.items()},
+        "max_bandwidth_bound_eff": round((res[HI] / res[LO]) / (HI / LO), 3),
+    }
+
+
 JOIN_SCALE_ROWS = int(os.environ.get("BENCH_JOIN_SCALE_ROWS", "1600000000"))
 
 
@@ -319,7 +429,7 @@ def _time_queries(spark) -> dict[str, float]:
         "url_canonicalize", "url_dedup", "domain_stats", "sessionize",
         "sample_stratified", "descriptive_stats", "group_percentiles", "topk_tokens",
         "warc_roundtrip", "arrow_roundtrip", "dedup_components",
-        "robots_filter",
+        "robots_filter", "shp_roundtrip",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
@@ -357,15 +467,38 @@ def _append_baseline_md(result: dict) -> None:
                 "docs/s @hi | scaling eff |\n"
                 "|---|---|---|---|---|---|---|---|\n"
             )
-        for stage in ("transform", "transform_2v8", "control_2v8",
+        scale_docs = int(os.environ.get("BENCH_SCALE_DOCS", str(2 * N_DOCS)))
+        stage_docs = {"transform": scale_docs, "transform_cluster": scale_docs,
+                      "join_tile_synth": JOIN_SCALE_ROWS}
+        for stage in ("transform", "transform_cluster", "transform_50m",
+                      "transform_2v8", "control_2v8",
                       "join_tile", "join_tile_synth", "control_arithmetic"):
             s = result["scaling"].get(stage)
             if not s:
                 continue
             c_lo, c_hi = s.get("cpus", [LO, HI])
             f.write(
-                f"| {result['n_docs']} | {stage} | {c_lo} | {s['t_lo']} | {c_hi} | "
+                f"| {stage_docs.get(stage, result['n_docs'])} | {stage} | "
+                f"{c_lo} | {s['t_lo']} | {c_hi} | "
                 f"{s['t_hi']} | {s['docs_per_sec_hi']} | {s['efficiency']} |\n"
+            )
+        if result.get("membw"):
+            m = result["membw"]
+            f.write(
+                f"\nMeasured memory-bus ceiling (aggregate streaming-copy "
+                f"GB/s by thread count): {m['gbps']} — best possible "
+                f"{LO}->{HI} efficiency for a purely bandwidth-bound job on "
+                f"this box: {m['max_bandwidth_bound_eff']} (executor NODES "
+                f"each bring their own bus; the N->4N node criterion is not "
+                f"bounded by this).\n"
+            )
+        if result.get("covering_compare"):
+            cv = result["covering_compare"]
+            f.write(
+                f"\nCovering-index projection (IndexValueEncoder analog): "
+                f"{cv['covering_mb']} MB for (doc_id, warc_ts, lon, lat) vs "
+                f"{cv['full_mb']} MB full rows — **{cv['ratio']}x fewer "
+                f"bytes** for index-value-only queries.\n"
             )
         f.write(
             f"| {result['n_docs']} | layout_write | — | — | {HI} | "
@@ -393,11 +526,11 @@ def _append_baseline_md(result: dict) -> None:
             )
 
 
-def _phase(cpus: int, fn):
+def _phase(cpus: int, fn, master: str | None = None):
     """Run one timed phase in a fresh session (a heavy write leaves enough
     heap/GC residue in a shared local JVM to distort the next measurement —
     observed 10x on the join phase)."""
-    spark = _session(cpus)
+    spark = _session(cpus, master=master)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         return fn(spark)
@@ -416,7 +549,7 @@ def _sync_disk() -> None:
         pass
 
 
-def _run_child_phase(phase: str, cpus: int, reps: int):
+def _run_child_phase(phase: str, cpus: int, reps: int, master: str | None = None):
     """Child-process entry: one phase, one fresh JVM, one JSON line out.
 
     JVM/GC state accumulated by earlier phases distorts in-process
@@ -447,24 +580,28 @@ def _run_child_phase(phase: str, cpus: int, reps: int):
         if phase == "joinscale":
             return _timed(join_scale_job, spark, reps=reps)
         if phase == "qcompare":
-            return {"compare": query_compare_job(spark)}
+            return {"compare": query_compare_job(spark),
+                    "covering": covering_compare()}
         if phase == "queries":
             return {"queries": _time_queries(spark)}
         raise SystemExit(f"unknown phase {phase}")
 
-    print("BENCH_RESULT " + json.dumps(_phase(cpus, body)))
+    print("BENCH_RESULT " + json.dumps(_phase(cpus, body, master=master)))
 
 
-def _phase_proc(phase: str, cpus: int, reps: int = 1, extra_env: dict | None = None):
+def _phase_proc(phase: str, cpus: int, reps: int = 1,
+                extra_env: dict | None = None, master: str | None = None):
     import subprocess
 
     env = dict(os.environ)
     if extra_env:
         env.update({k: str(v) for k, v in extra_env.items()})
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase,
+           "--cpus", str(cpus), "--reps", str(reps)]
+    if master:
+        cmd += ["--master", master]
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--phase", phase,
-         "--cpus", str(cpus), "--reps", str(reps)],
-        capture_output=True, text=True, timeout=3600, env=env,
+        cmd, capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
@@ -474,13 +611,103 @@ def _phase_proc(phase: str, cpus: int, reps: int = 1, extra_env: dict | None = N
     )
 
 
+def _round_number() -> int:
+    """Current build round: BENCH_ROUND env, else 1 + the highest
+    driver-recorded BENCH_r{N}.json in the repo root."""
+    if os.environ.get("BENCH_ROUND"):
+        return int(os.environ["BENCH_ROUND"])
+    import glob
+    import re
+
+    ns = [int(m.group(1)) for f in glob.glob("BENCH_r*.json")
+          if (m := re.search(r"BENCH_r(\d+)\.json$", f))]
+    return (max(ns) + 1) if ns else 1
+
+
+def _record_round(result: dict) -> list[str]:
+    """Persist the FULL result to BENCH/QUERIES_r{N}.json, append a
+    per-round record to BENCH/HISTORY.jsonl, and return fail-soft
+    regression flags: any query >1.5x its time in the latest previous
+    round (ignoring sub-0.5 s timings, which are scheduling noise)."""
+    os.makedirs("BENCH", exist_ok=True)
+    rnd = _round_number()
+    with open(os.path.join("BENCH", f"QUERIES_r{rnd:02d}.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+
+    hist_path = os.path.join("BENCH", "HISTORY.jsonl")
+    prev = None
+    if os.path.exists(hist_path):
+        for line in open(hist_path):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("round", 0) < rnd and (
+                prev is None or rec["round"] > prev["round"]
+            ):
+                prev = rec
+    regressions = []
+    if prev:
+        for name, t in result["queries"].items():
+            old = prev.get("queries", {}).get(name)
+            if old and t > 1.5 * old and t > 0.5:
+                regressions.append(f"{name}: {old}->{t}s")
+                print(f"BENCH_REGRESSION {name}: {old}s -> {t}s",
+                      file=sys.stderr)
+    sc = result["scaling"]
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({
+            "round": rnd,
+            "headline_sec": result["value"],
+            "docs_per_sec": result["docs_per_sec"],
+            "ingest_docs_per_sec": result["ingest_docs_per_sec"],
+            "queries": result["queries"],
+            "scaling_eff": {k: v.get("efficiency")
+                            for k, v in sc.items() if isinstance(v, dict)},
+            "regressions": regressions,
+        }) + "\n")
+    return regressions
+
+
+def _compact(result: dict, regressions: list[str]) -> dict:
+    """The one-line stdout JSON. The driver tail-captures ~2 KB of stdout;
+    round 3's 74-query dict outgrew it and the round was recorded as
+    'parsed: null'. Headline + scaling efficiencies + top-5 slowest
+    queries fit; the full artifact lives in BENCH/QUERIES_r{N}.json."""
+    rnd = _round_number()
+    qs = result["queries"]
+    sc = result["scaling"]
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_docs": result["n_docs"],
+        "docs_per_sec": result["docs_per_sec"],
+        "ingest_docs_per_sec": result["ingest_docs_per_sec"],
+        "index_bytes_ratio": result["index_bytes_ratio"],
+        "index_rows_ratio": result["index_rows_ratio"],
+        "covering_bytes_ratio": (result.get("covering_compare") or {}).get("ratio"),
+        "queries": dict(sorted(qs.items(), key=lambda kv: -kv[1])[:5]),
+        "n_queries": len(qs),
+        "queries_full": f"BENCH/QUERIES_r{rnd:02d}.json",
+        "scaling_eff": {k: v.get("efficiency")
+                        for k, v in sc.items() if isinstance(v, dict)},
+        "membw_gbps": (result.get("membw") or {}).get("gbps"),
+        "regressions": regressions[:8],
+    }
+    return out
+
+
 def main() -> None:
     if "--phase" in sys.argv:
         i = sys.argv.index("--phase")
         phase = sys.argv[i + 1]
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
-        _run_child_phase(phase, cpus, reps)
+        master = (sys.argv[sys.argv.index("--master") + 1]
+                  if "--master" in sys.argv else None)
+        _run_child_phase(phase, cpus, reps, master=master)
         return
 
     # phase order matters: time the read-only transform BEFORE the multi-GB
@@ -497,19 +724,35 @@ def main() -> None:
     tr_lo = ctl_hi = ctl_lo = js_hi = js_lo = join_lo = None
     skip_scaling = bool(os.environ.get("BENCH_SKIP_SCALING"))
     tr_lo2 = ctl8_s = ctl2_s = None
+    trs_hi = trs_lo = clu_hi = clu_lo = membw = None
     LO2 = int(os.environ.get("BENCH_LO2_CPUS", "2"))
     ctl2_rows = int(os.environ.get("BENCH_CONTROL2_ROWS", "1600000000"))
+    # the 8v32 pair runs at 2x the headline docs: at 50M the stage carries
+    # ~170 core-s of work against ~1.5 s of fixed session/scan setup, and
+    # the ratio starts measuring overhead; 100M amortizes it (measured
+    # 0.73 -> 0.79 min-based from size alone)
+    scale_docs = int(os.environ.get("BENCH_SCALE_DOCS", str(2 * N_DOCS)))
     if not skip_scaling:
+        senv = {"BENCH_DOCS": scale_docs}
+        _phase_proc("gen", HI, extra_env=senv)
+        _sync_disk()
+        # NORTH-RULE pair at the specified proxy (8 vs 32 cores), one JVM
+        trs_hi = _phase_proc("transform", HI, reps=3, extra_env=senv)
+        trs_lo = _phase_proc("transform", LO, reps=3, extra_env=senv)
+        # same pair with SEPARATE EXECUTOR JVMs (local-cluster[w,4] — the
+        # closest sandbox analog of N vs 4N executors; 10 GB heap each)
+        clu_hi = _phase_proc("transform", HI, reps=2, extra_env=senv,
+                             master=f"local-cluster[{HI // 4},4,10500]")
+        clu_lo = _phase_proc("transform", LO, reps=2, extra_env=senv,
+                             master=f"local-cluster[{LO // 4},4,10500]")
         tr_lo = _phase_proc("transform", LO, reps=2)
         # LOW-CORE pair (2 vs 8 cores): both levels run far below the single
         # box's memory-bandwidth saturation point, so this pair measures
         # ENGINE scaling — the honest proxy for N vs 4N executor NODES,
-        # where each node brings its own memory bus. The 8-vs-32 pair above
-        # is reported too and documents the one-box bandwidth ceiling.
+        # where each node brings its own memory bus. The 8-vs-32 pairs above
+        # document the one-box ceiling (see membw below: this box's
+        # aggregate copy bandwidth *drops* from 8 to 32 threads).
         tr_lo2 = _phase_proc("transform", LO2, reps=2)
-        # the >=0.8 claims live on the 2v8 pairs (reps=2); the 8v32 ceiling
-        # rows and the joinscale curve point are documentation and run at
-        # reduced reps to keep the whole bench under the driver's patience
         ctl_hi = _phase_proc("control", HI, reps=2)
         ctl_lo = _phase_proc("control", LO, reps=2)
         ctl8_s = _phase_proc("control", LO, reps=2,
@@ -519,6 +762,7 @@ def main() -> None:
         if JOIN_SCALE_ROWS > 0:
             js_hi = _phase_proc("joinscale", HI, reps=1)
             js_lo = _phase_proc("joinscale", LO, reps=1)
+        membw = membw_job()
 
     t_write = _phase_proc("prep", HI)["t"]
     _sync_disk()
@@ -528,7 +772,8 @@ def main() -> None:
     t_join_hi = join_hi["t"]
     if not skip_scaling:
         join_lo = _phase_proc("join", LO, reps=2)
-    compare = _phase_proc("qcompare", HI)["compare"]
+    qc = _phase_proc("qcompare", HI)
+    compare, covering = qc["compare"], qc["covering"]
     queries = _phase_proc("queries", HI)["queries"]
 
     def _best(r):
@@ -559,6 +804,7 @@ def main() -> None:
         "ingest_docs_per_sec": round(N_DOCS / t_write, 1),
         "layout_write_sec": round(t_write, 3),
         "query_compare": compare,
+        "covering_compare": covering,
         "index_bytes_ratio": round(
             compare["fullscan"]["mb"] / max(0.1, compare["indexed"]["mb"]), 1
         ),
@@ -566,10 +812,21 @@ def main() -> None:
             compare["fullscan"]["rows_scanned"]
             / max(1, compare["indexed"]["rows_scanned"]), 1
         ),
+        "membw": membw,
         "scaling": {
             "cpus_lo": LO,
             "cpus_hi": HI,
-            "transform": _scale(tr_hi, tr_lo),
+            # north-rule pair at the specified 8v32 proxy, 2x docs
+            "transform": (
+                _scale(trs_hi, trs_lo, rows=scale_docs) if trs_hi
+                else _scale(tr_hi, tr_lo)
+            ),
+            # same pair, separate executor JVMs (local-cluster[w,4,10500])
+            "transform_cluster": (
+                _scale(clu_hi, clu_lo, rows=scale_docs) if clu_hi else None
+            ),
+            # 50M single-JVM pair kept for round-over-round comparability
+            "transform_50m": _scale(tr_hi, tr_lo) if tr_lo else None,
             # N-vs-4N proxies below memory-bus saturation (cpus 2 vs 8):
             # tr_lo doubles as the 8-core level of the transform pair
             "transform_2v8": (
@@ -603,7 +860,8 @@ def main() -> None:
             _append_baseline_md(result)
         except Exception:
             pass
-    print(json.dumps(result))
+    regressions = _record_round(result)
+    print(json.dumps(_compact(result, regressions)))
 
 
 if __name__ == "__main__":

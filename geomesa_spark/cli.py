@@ -74,17 +74,39 @@ def _open_table(spark, catalog: str, name: str):
 
 def cmd_create(args) -> int:
     d = _table_dir(args.catalog, args.name)
+    if args.spec:
+        # reference-parity surface: the SFT spec string grammar
+        # (UTL/geotools/SimpleFeatureTypes.scala:540-584), e.g.
+        # "id:String:index=true,dtg:Date,*geom:Point:srid=4326"
+        from geomesa_spark.sources.sft import schema_from_spec
+
+        schema = schema_from_spec(args.name, args.spec,
+                                  lon=args.lon, lat=args.lat)
+        # explicit flags override / extend the spec-derived fields
+        if args.dtg:
+            schema["dtg"] = args.dtg
+        if args.fid:
+            schema["fid"] = args.fid
+        for a in args.attr_index or []:
+            if a not in schema["attr_indexes"]:
+                schema["attr_indexes"].append(a)
+        if args.st_copy:
+            schema["st_copy"] = True
+        schema["cardinality"].update(
+            dict(kv.split("=", 1) for kv in (args.cardinality or []))
+        )
+    else:
+        schema = {
+            "name": args.name,
+            "lon": args.lon,
+            "lat": args.lat,
+            "dtg": args.dtg,
+            "fid": args.fid,
+            "attr_indexes": args.attr_index or [],
+            "st_copy": bool(args.st_copy),
+            "cardinality": dict(kv.split("=", 1) for kv in (args.cardinality or [])),
+        }
     os.makedirs(d, exist_ok=True)
-    schema = {
-        "name": args.name,
-        "lon": args.lon,
-        "lat": args.lat,
-        "dtg": args.dtg,
-        "fid": args.fid,
-        "attr_indexes": args.attr_index or [],
-        "st_copy": bool(args.st_copy),
-        "cardinality": dict(kv.split("=", 1) for kv in (args.cardinality or [])),
-    }
     with open(os.path.join(d, SCHEMA_FILE), "w") as f:
         json.dump(schema, f, indent=2)
     print(f"created feature table {args.name} in {args.catalog}")
@@ -304,6 +326,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("create", help="register a feature table schema")
     common(p)
     p.add_argument("--name", required=True)
+    p.add_argument("--spec", default=None,
+                   help="SFT spec string, e.g. "
+                        "'id:String:index=true,dtg:Date,*geom:Point:srid=4326'")
     p.add_argument("--lon", default="lon")
     p.add_argument("--lat", default="lat")
     p.add_argument("--dtg", default=None)

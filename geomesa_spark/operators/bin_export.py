@@ -89,7 +89,7 @@ def bin_pack(table: GeoTable, track_col: str, label_col: str | None = None) -> D
         F.col("track").isNotNull() & F.col("secs").isNotNull()
     )
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("secs", kind="mergesort")
         n = len(pdf)
         rec = np.zeros(n, dtype=np.dtype(

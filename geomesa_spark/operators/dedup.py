@@ -135,11 +135,15 @@ def minhash_lsh_pairs(
     ``precomputed_sigs`` and own the persistence lifecycle.
     """
     rows_per_band = n_hashes // bands
-    sigs = (
-        precomputed_sigs
-        if precomputed_sigs is not None
-        else minhash_signatures(df, text_col, id_col, n_hashes, shingle_words, seed)
-    ).persist()
+    # persist only a frame we built ourselves: a caller-supplied
+    # precomputed_sigs owns its persistence lifecycle (see docstring) —
+    # pinning it here would leak executor storage the caller can't release
+    if precomputed_sigs is not None:
+        sigs = precomputed_sigs
+    else:
+        sigs = minhash_signatures(
+            df, text_col, id_col, n_hashes, shingle_words, seed
+        ).persist()
 
     band_cols = F.array(*[
         F.struct(

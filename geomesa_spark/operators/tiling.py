@@ -131,7 +131,7 @@ def mosaic(chunks: DataFrame, out_level: int, canvas_bytes: int = 256) -> DataFr
     """
     from geomesa_spark.operators.multimodal import decode_payload
 
-    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         canvas = np.zeros(canvas_bytes, dtype=np.float64)
         for payload, weight in zip(pdf["payload"], pdf["weight"]):
             if payload is None:
@@ -189,7 +189,7 @@ def mosaic_geo(
     """
     ex0, ey0, ex1, ey1 = (float(v) for v in query_env)
 
-    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         n, w, h, data = _composite_canvas(
             pdf, (ex0, ey0, ex1, ey1), query_width, query_height
         )
@@ -301,7 +301,7 @@ def mosaic_geo_tiles(
         .drop("__tx", "__ty")
     )
 
-    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from geomesa_spark.cells.tiles import tile_bbox
 
         tid = int(key[0])

@@ -173,11 +173,34 @@ def avro_ingest(spark, path: str) -> DataFrame:
     from geomesa_spark.sources.avro_codec import iter_container, read_header, schema_to_ddl
 
     files = spark.read.format("binaryFile").load(path)
-    head = files.select("content").head()
-    if head is None:
+
+    # probe EVERY file's header ON EXECUTORS and collect only the distinct
+    # DDLs: each container decodes with its own embedded writer schema, but
+    # the JSON records are parsed against ONE DDL — a silently differing
+    # schema would null/drop fields instead of erroring. (Driver sees a
+    # handful of (ddl, example path) rows, never file bytes.)
+    def probe(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "path": pdf["path"],
+                "ddl": [schema_to_ddl(read_header(bytes(b))[0])
+                        for b in pdf["content"]],
+            })
+
+    ddls = (
+        files.select("path", "content")
+        .mapInPandas(probe, "path string, ddl string")
+        .groupBy("ddl").agg(F.min("path").alias("example"))
+        .collect()
+    )
+    if not ddls:
         raise ValueError(f"no avro files at {path}")
-    schema, _codec, _sync, _off = read_header(bytes(head[0]))
-    ddl = schema_to_ddl(schema)
+    if len(ddls) > 1:
+        detail = "; ".join(f"{r['example']}: {r['ddl']}" for r in ddls)
+        raise ValueError(
+            f"avro containers disagree on writer schema: {detail}"
+        )
+    ddl = ddls[0]["ddl"]
 
     def parse(batches):
         for pdf in batches:

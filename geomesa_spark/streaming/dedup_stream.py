@@ -43,8 +43,15 @@ def streaming_exact_dedup(
     rows still collapse.
     """
     h = F.md5(F.col(text_col))
+    # concat_ws silently SKIPS null columns, so (NULL,'x') and ('x',NULL)
+    # would collide to one surrogate and the second row would be wrongly
+    # dropped; coalesce each column to a sentinel so null POSITION changes
+    # the hash (the sentinel can't collide with a real value containing
+    # the separator because real values never contain \x00)
     surrogate = F.concat(F.lit("null:"), F.sha2(F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in stream.columns]
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+          for c in stream.columns]
     ), 256))
     hashed = stream.withColumn(
         "content_hash",

@@ -1,0 +1,130 @@
+"""SFT spec-string parser (sources/sft.py) — the reference's canonical
+schema surface (UTL/geotools/SimpleFeatureTypes.scala:540-584 SpecParser
+grammar), including the reference's own doc example, plus CLI integration
+(create --spec -> describe echoes the normalized spec back).
+"""
+import json
+
+import pytest
+
+from geomesa_spark.sources.sft import (
+    SpecError,
+    parse_spec_string,
+    schema_from_spec,
+    spark_type,
+    to_spec_string,
+)
+
+
+def test_reference_doc_example():
+    # the example from the SpecParser scaladoc, verbatim
+    spec = ("id:Integer:opt1=v1:opt2=v2,*geom:Geometry:srid=4326,"
+            "ct:List[String]:index=true,mt:Map[String,Double]:index=false")
+    p = parse_spec_string(spec)
+    a = {x["name"]: x for x in p["attributes"]}
+    assert a["id"]["type"] == "Integer"
+    assert a["id"]["options"] == {"opt1": "v1", "opt2": "v2"}
+    assert a["geom"]["kind"] == "geometry" and a["geom"]["default"]
+    assert a["geom"]["options"]["srid"] == "4326"
+    assert a["ct"]["type"] == "List[String]" and a["ct"]["element_type"] == "String"
+    # bare boolean index values mean join coverage (optionToIndexCoverage)
+    assert a["ct"]["options"]["index"] == "join"
+    assert a["mt"]["type"] == "Map[String,Double]"
+    assert a["mt"]["key_type"] == "String" and a["mt"]["value_type"] == "Double"
+    assert a["mt"]["options"]["index"] == "none"
+
+
+def test_type_aliases_and_defaults():
+    p = parse_spec_string(
+        "a:string,b:int,c:0,d:0.0,e:0.0f,f:true,g:java.lang.Long,"
+        "h:List,i:Map,j:Date"
+    )
+    types = [x["type"] for x in p["attributes"]]
+    assert types == ["String", "Integer", "Integer", "Double", "Float",
+                     "Boolean", "Long", "List[String]", "Map[String,String]",
+                     "Date"]
+
+
+def test_spark_types():
+    p = parse_spec_string(
+        "s:String,n:Integer,t:Date,g:Point,l:List[Double],m:Map[String,Long]"
+    )
+    assert [spark_type(a) for a in p["attributes"]] == [
+        "string", "int", "timestamp", "string",
+        "array<double>", "map<string,bigint>",
+    ]
+
+
+def test_whitespace_stripped_and_first_geometry_is_default():
+    p = parse_spec_string(" name : String ,\n dtg : Date,  geom : Point ")
+    assert [a["name"] for a in p["attributes"]] == ["name", "dtg", "geom"]
+    assert p["attributes"][2]["default"]  # single geometry implicitly default
+
+
+def test_index_coverage_normalization():
+    p = parse_spec_string("a:String:index=full,b:String:index=join,"
+                          "c:String:index=FALSE,d:String:index=none")
+    opts = [x["options"]["index"] for x in p["attributes"]]
+    assert opts == ["full", "join", "none", "none"]
+
+
+def test_feature_level_splitter_options():
+    spec = ("id:String,*geom:Point:srid=4326;"
+            "table.splitter=org.locationtech.geomesa.data.DigitSplitter,"
+            "table.splitter.options=fmt:%02d,min:0")
+    p = parse_spec_string(spec)
+    fo = p["feature_options"]
+    assert fo["table.splitter"].endswith("DigitSplitter")
+    assert fo["table.splitter.options"] == {"fmt": "%02d", "min": "0"}
+    # round-trip keeps the suffix
+    assert ";table.splitter=" in to_spec_string(p)
+
+
+def test_roundtrip_normalized():
+    spec = "id:String:index=true,dtg:Date,*geom:Point:srid=4326"
+    rendered = to_spec_string(parse_spec_string(spec))
+    assert rendered == "id:String:index=join,dtg:Date,*geom:Point:srid=4326"
+    # idempotent once normalized
+    assert to_spec_string(parse_spec_string(rendered)) == rendered
+
+
+def test_errors():
+    # note: "bad option=1" would be VALID (whitespace is stripped pre-parse)
+    for bad in ["", "noType", "a:NotAType", "x:String:bad/option=1",
+                "*id:String", "g1:Point,*g2:Point,*g3:Point",
+                "m:Map[String]", "l:List[String"]:
+        with pytest.raises(SpecError):
+            parse_spec_string(bad)
+
+
+def test_schema_from_spec_mapping():
+    s = schema_from_spec(
+        "tracks",
+        "track_id:String:index=full:cardinality=HIGH,score:Double,"
+        "dtg:Date,*geom:Point:srid=4326",
+    )
+    assert s["dtg"] == "dtg"
+    assert s["attr_indexes"] == ["track_id"]
+    assert s["cardinality"] == {"track_id": "high"}
+    assert s["geom"] == "geom" and s["geom_type"] == "Point"
+    assert s["srid"] == 4326 and s["st_copy"]
+    assert s["spec"].startswith("track_id:String:index=full")
+
+
+def test_cli_create_from_spec(tmp_path, capsys):
+    from geomesa_spark.cli import main
+
+    catalog = str(tmp_path / "cat")
+    assert main([
+        "create", "--catalog", catalog, "--name", "obs",
+        "--spec", "fid:String,kind:String:index=true,dtg:Date,"
+                  "*geom:Point:srid=4326",
+        "--fid", "fid",
+    ]) == 0
+    main(["describe", "--catalog", catalog, "--name", "obs"])
+    out = capsys.readouterr().out
+    schema = json.loads(out[out.index("{"):out.rindex("}") + 1])
+    assert schema["dtg"] == "dtg" and schema["fid"] == "fid"
+    assert schema["attr_indexes"] == ["kind"]
+    assert schema["spec"] == ("fid:String,kind:String:index=join,dtg:Date,"
+                              "*geom:Point:srid=4326")
