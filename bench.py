@@ -634,26 +634,31 @@ def _record_round(result: dict) -> list[str]:
     with open(os.path.join("BENCH", f"QUERIES_r{rnd:02d}.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
+    # baseline per query = its timing in the MOST RECENT prior round that
+    # recorded it (round 3's record is partial — recovered from a truncated
+    # stdout tail — so e.g. knn falls back to its round-2 value)
     hist_path = os.path.join("BENCH", "HISTORY.jsonl")
-    prev = None
+    prev_q: dict = {}
+    prev_round: dict = {}
     if os.path.exists(hist_path):
         for line in open(hist_path):
             try:
                 rec = json.loads(line)
             except ValueError:
                 continue
-            if rec.get("round", 0) < rnd and (
-                prev is None or rec["round"] > prev["round"]
-            ):
-                prev = rec
+            r = rec.get("round", 0)
+            if r >= rnd:
+                continue
+            for name, t in rec.get("queries", {}).items():
+                if name not in prev_round or r > prev_round[name]:
+                    prev_q[name], prev_round[name] = t, r
     regressions = []
-    if prev:
-        for name, t in result["queries"].items():
-            old = prev.get("queries", {}).get(name)
-            if old and t > 1.5 * old and t > 0.5:
-                regressions.append(f"{name}: {old}->{t}s")
-                print(f"BENCH_REGRESSION {name}: {old}s -> {t}s",
-                      file=sys.stderr)
+    for name, t in result["queries"].items():
+        old = prev_q.get(name)
+        if old and t > 1.5 * old and t > 0.5:
+            regressions.append(f"{name}: {old}s(r{prev_round[name]})->{t}s")
+            print(f"BENCH_REGRESSION {name}: {old}s (r{prev_round[name]}) "
+                  f"-> {t}s", file=sys.stderr)
     sc = result["scaling"]
     with open(hist_path, "a") as f:
         f.write(json.dumps({
@@ -789,6 +794,7 @@ def main() -> None:
             "spread_hi": hi.get("spread") if hi else None,
             "spread_lo": lo.get("spread") if lo else None,
             "docs_per_sec_hi": round(rows / t_hi, 1),
+            "docs_per_sec_lo": round(rows / t_lo, 1) if t_lo else None,
             "efficiency": round((t_lo / t_hi) / ratio, 3) if t_lo else None,
         }
 

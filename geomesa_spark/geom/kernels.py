@@ -178,6 +178,8 @@ def geometry_intersects_box(g: Geometry, box) -> bool:
                     if _segment_intersects_box(x0, y0, x1, y1, box):
                         return True
         return False
+    if g.kind == "GEOMETRYCOLLECTION":
+        return any(geometry_intersects_box(p, box) for p in g.parts)
     raise ValueError(f"unsupported geometry kind: {g.kind}")
 
 
@@ -267,6 +269,8 @@ def geometry_intersects_polygon(g: Geometry, poly: Geometry) -> bool:
                                 if _segments_intersect(a, b, c, d):
                                     return True
         return False
+    if g.kind == "GEOMETRYCOLLECTION":
+        return any(geometry_intersects_polygon(p, poly) for p in g.parts)
     raise ValueError(f"unsupported geometry kind: {g.kind}")
 
 

@@ -73,6 +73,9 @@ class Geometry:
                 f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
         if self.kind == "MULTILINESTRING":
             return "MULTILINESTRING (" + ", ".join(ring(r) for r in self.rings) + ")"
+        if self.kind == "GEOMETRYCOLLECTION":
+            return ("GEOMETRYCOLLECTION ("
+                    + ", ".join(p.to_wkt() for p in self.parts) + ")")
         raise ValueError(self.kind)
 
 
@@ -108,6 +111,23 @@ def parse_wkt(wkt: str) -> Geometry:
     if head == "MULTILINESTRING":
         rings = [_parse_ring(r) for r in re.findall(r"\(([^()]+)\)", body)]
         return Geometry("MULTILINESTRING", rings=rings)
+    if head == "GEOMETRYCOLLECTION":
+        # heterogeneous members, each a full WKT geometry: split the inner
+        # text on commas at paren-depth 0 and recurse
+        inner = body.strip()[1:-1]
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(inner[start:i])
+                start = i + 1
+        parts.append(inner[start:])
+        return Geometry(
+            "GEOMETRYCOLLECTION", parts=[parse_wkt(p) for p in parts if p.strip()]
+        )
     raise ValueError(f"unsupported WKT: {head}")
 
 

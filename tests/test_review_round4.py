@@ -92,3 +92,49 @@ def test_minhash_lsh_does_not_persist_caller_sigs(spark):
                       shingle_words=3, precomputed_sigs=sigs).collect()
     # the caller's frame must come back un-pinned
     assert sigs.storageLevel.useMemory is False
+
+
+# ---------------------------------------------------------------------------
+# GEOMETRYCOLLECTION parity (SimpleFeatureTypes.scala:401-425 lists it as a
+# first-class type; round-3 wkt model stopped at the Multi* kinds)
+# ---------------------------------------------------------------------------
+
+
+def test_geometrycollection_parse_roundtrip_bbox():
+    from geomesa_spark.geom.wkt import parse_wkt
+
+    wkt = ("GEOMETRYCOLLECTION (POINT (4.0 6.0), "
+           "LINESTRING (0.0 0.0, 2.0 2.0), "
+           "POLYGON ((10.0 10.0, 12.0 10.0, 12.0 12.0, 10.0 10.0)))")
+    g = parse_wkt(wkt)
+    assert g.kind == "GEOMETRYCOLLECTION" and len(g.parts) == 3
+    assert [p.kind for p in g.parts] == ["POINT", "LINESTRING", "POLYGON"]
+    assert g.bbox() == (0.0, 0.0, 12.0, 12.0)
+    # nested collections parse too
+    nested = parse_wkt(f"GEOMETRYCOLLECTION (POINT (1.0 1.0), {wkt})")
+    assert nested.parts[1].kind == "GEOMETRYCOLLECTION"
+    # normalized round-trip
+    from geomesa_spark.geom.wkt import parse_wkt as p2
+    assert p2(g.to_wkt()).bbox() == g.bbox()
+
+
+def test_geometrycollection_kernels_dispatch():
+    from geomesa_spark.geom.kernels import (
+        geometry_intersects_box,
+        geometry_intersects_polygon,
+    )
+    from geomesa_spark.geom.wkt import parse_wkt
+
+    g = parse_wkt("GEOMETRYCOLLECTION (POINT (4.0 6.0), "
+                  "LINESTRING (20.0 20.0, 22.0 22.0))")
+    # box hits only the point member
+    assert geometry_intersects_box(g, (3.0, 5.0, 5.0, 7.0))
+    # box hits only the line member
+    assert geometry_intersects_box(g, (19.0, 19.0, 21.0, 21.0))
+    # box hits neither
+    assert not geometry_intersects_box(g, (-10.0, -10.0, -5.0, -5.0))
+
+    tri = parse_wkt("POLYGON ((3.0 5.0, 5.0 5.0, 4.0 7.0, 3.0 5.0))")
+    assert geometry_intersects_polygon(g, tri)
+    far = parse_wkt("POLYGON ((-9.0 -9.0, -8.0 -9.0, -8.0 -8.0, -9.0 -9.0))")
+    assert not geometry_intersects_polygon(g, far)
