@@ -234,6 +234,19 @@ def _export_df(args, df, schema):
     elif fmt == "parquet":
         out = df.select(*(props or df.columns))
         out.write.mode("overwrite").parquet(args.out)
+    elif fmt == "shp":
+        # FeatureExporter shapefile path (TLS/FeatureExporter.scala:62-96):
+        # point features + .dbf attributes; export targets are small result
+        # sets (collected driver-side by the writer)
+        from geomesa_spark.sources.shapefile import write_shapefile
+
+        attrs = props or [c for c in df.columns
+                          if c not in (schema["lon"], schema["lat"])]
+        wkt = F.format_string(
+            "POINT (%s %s)", F.col(schema["lon"]), F.col(schema["lat"])
+        )
+        write_shapefile(df.select(wkt.alias("wkt"), *attrs), args.out,
+                        wkt="wkt", attrs=attrs)
     else:
         raise SystemExit(f"unknown export format {fmt}")
 
@@ -372,7 +385,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", required=True)
     p.add_argument("--cql", default=None)
     p.add_argument("--format", default="csv",
-                   choices=["csv", "geojson", "gml", "arrow", "parquet"])
+                   choices=["csv", "geojson", "gml", "arrow", "parquet", "shp"])
     p.add_argument("--out", required=True)
     p.add_argument("--max-features", type=int, default=None)
     p.add_argument("--properties", default=None, help="comma-separated projection")

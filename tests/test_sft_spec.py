@@ -128,3 +128,35 @@ def test_cli_create_from_spec(tmp_path, capsys):
     assert schema["attr_indexes"] == ["kind"]
     assert schema["spec"] == ("fid:String,kind:String:index=join,dtg:Date,"
                               "*geom:Point:srid=4326")
+
+
+def test_cli_export_shapefile(tmp_path, capsys, spark):
+    """create --spec -> ingest -> export --format shp -> read back."""
+    from geomesa_spark.cli import main
+    from geomesa_spark.sources.shapefile import read_shapefile
+
+    catalog = str(tmp_path / "cat2")
+    assert main(["create", "--catalog", catalog, "--name", "pts",
+                 "--spec", "fid:String,kind:String,dtg:Date,"
+                           "*geom:Point:srid=4326",
+                 "--fid", "fid"]) == 0
+    csv = tmp_path / "in.csv"
+    csv.write_text("\n".join(
+        f"f{i},{i * 10 - 170.0},{i * 5 - 80.0},2024-01-0{i % 8 + 1}T00:00:00Z,k{i % 2}"
+        for i in range(8)))
+    assert main(["ingest", "--catalog", catalog, "--name", "pts",
+                 "--file", str(csv), "--format", "csv",
+                 "--fields", "fid,lon,lat,dtg,kind",
+                 "--cast", "lon:double", "--cast", "lat:double",
+                 "--cast", "dtg:timestamp"]) == 0
+    out = str(tmp_path / "exp.shp")
+    assert main(["export", "--catalog", catalog, "--name", "pts",
+                 "--format", "shp", "--out", out,
+                 "--properties", "fid,kind",
+                 "--cql", "BBOX(geom, -180, -90, 0, 90)"]) == 0
+    back = read_shapefile(spark, out)
+    rows = {r["FID"]: r for r in back.collect()}
+    # lon < 0 -> i*10-170 < 0 -> i <= 16 (all 8 rows have lon in [-170,-100])
+    assert len(rows) == 8
+    assert rows["f3"]["KIND"] == "k1"
+    assert rows["f3"]["wkt"] == "POINT (-140.0 -65.0)"
