@@ -430,6 +430,10 @@ def _time_queries(spark) -> dict[str, float]:
         "sample_stratified", "descriptive_stats", "group_percentiles", "topk_tokens",
         "warc_roundtrip", "arrow_roundtrip", "dedup_components",
         "robots_filter", "shp_roundtrip",
+        # appended r4 (previously untimed; keep existing positions stable —
+        # per-query timings are only comparable at the same sequence slot)
+        "bounds", "count_by_day", "density_wkt", "geoparse_docs",
+        "or_union", "record_lookup", "spatial_join_boxes", "sql_functions",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
