@@ -1226,7 +1226,12 @@ def _q_dedup_components(spark, sf_dir):
     """Connected components over a deterministic chain graph (doc i ~ i+1
     within 50-blocks): the oracle knows the closed-form component minimum,
     the engine has to discover it through the large-star/small-star
-    rounds — long chains are the worst case for label propagation."""
+    rounds — long chains are the worst case for label propagation.
+
+    ``driver_edge_cap=0`` pins the DISTRIBUTED star-contraction here: the
+    toy graph would otherwise take the operator's bounded small-graph
+    collapse, and this gate exists to validate the path that runs at
+    100 TB (the collapse is parity-tested in test_components.py)."""
     from geomesa_spark.operators.components import connected_components
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -1236,7 +1241,7 @@ def _q_dedup_components(spark, sf_dir):
         .filter(F.col("doc_id") % 50 != 49)
         .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
     )
-    return connected_components(pairs)
+    return connected_components(pairs, driver_edge_cap=0)
 
 
 _SQL_BOX = "POLYGON ((0.005 0.005, 40.005 0.005, 40.005 30.005, 0.005 30.005, 0.005 0.005))"

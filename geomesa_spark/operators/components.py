@@ -71,20 +71,58 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(rows) -> list[tuple[int, int]]:
+    """Exact union-find with path compression; merged roots always attach
+    under the smaller id, so ``find(x)`` IS the component minimum — the
+    same (node, min-id) contract as the distributed fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((x, find(x)) for x in parent)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 25,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Pairs -> ``(node, component)`` where component is the minimum node
     id in the connected component. Nodes absent from ``pairs`` are absent
     from the output (singletons keep themselves; union externally).
+
+    Adaptive small-graph collapse: iterative star-contraction costs one
+    Spark job per round (~0.5 s of pure scheduling each at any scale), so
+    when the deduplicated edge set fits a hard cap it is collected ONCE
+    (bounded: ``driver_edge_cap`` x 16 B = 16 MB default) and solved with
+    exact union-find — the same move as broadcasting a small join side.
+    The distributed path is unchanged and runs whenever the graph exceeds
+    the cap (the 100 TB regime; pass ``driver_edge_cap=0`` to force it).
+    Both paths produce the identical (node, min-id) rows.
     """
     edges = _canonical(
         pairs.select(F.col(a_col).cast("long").alias("a"),
                      F.col(b_col).cast("long").alias("b"))
     )
+    if driver_edge_cap:
+        head = edges.limit(driver_edge_cap + 1).collect()  # one bounded job
+        if len(head) <= driver_edge_cap:
+            out = _driver_union_find(head)
+            return pairs.sparkSession.createDataFrame(
+                out, "node long, component long"
+            )
     # localCheckpoint truncates the lineage every round — without it the
     # logical plan doubles per iteration (union+join on its own output)
     # and planning alone OOMs after ~10 rounds. On a cluster with a

@@ -136,3 +136,33 @@ def test_simhash_subsplit_recovers_pairs_in_mega_buckets(spark):
                              bucket_cap=4, precomputed_sigs=sigs)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
     assert got == {(4, 5): 1}
+
+
+def test_cc_both_paths_agree(spark):
+    """The bounded driver collapse and the distributed star-contraction
+    must emit identical (node, min-id) rows (driver_edge_cap=0 forces the
+    distributed path; the tiny cap forces collapse-eligible graphs down
+    the distributed path too)."""
+    rng = random.Random(23)
+    for trial in range(2):
+        n = 200
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        edges = [e for e in edges if e[0] != e[1]]
+        fast = _cc(spark, edges)                        # default cap: driver
+        dist = _cc(spark, edges, driver_edge_cap=0)     # forced distributed
+        assert fast == dist == _union_find(edges)
+
+
+def test_cc_cap_boundary_routes_to_distributed(spark):
+    """One more edge than the cap -> distributed path (same answer)."""
+    edges = [(i, i + 1) for i in range(20)]
+    got = _cc(spark, edges, driver_edge_cap=5)  # 20 canonical edges > 5
+    assert got == {i: 0 for i in range(21)}
+
+
+def test_cc_long_chain_converges_distributed(spark):
+    """Chain worst case through the star-contraction rounds explicitly
+    (the default-cap test above now exercises the driver collapse)."""
+    edges = [(i, i + 1) for i in range(399)]
+    got = _cc(spark, edges, driver_edge_cap=0)
+    assert got == {i: 0 for i in range(400)}
