@@ -234,6 +234,31 @@ def _export_df(args, df, schema):
     elif fmt == "parquet":
         out = df.select(*(props or df.columns))
         out.write.mode("overwrite").parquet(args.out)
+    elif fmt == "tsv":
+        out = df.select(*(props or df.columns))
+        out.write.mode("overwrite").option("header", True).option(
+            "sep", "\t").csv(args.out)
+    elif fmt == "bin":
+        # BinFileExport (TLS/FeatureExporter.scala BinFileExport object):
+        # packed 16-byte (hash, secs, lat, lon) records, time-sorted per
+        # track, concatenated into ONE local file (the reference streams
+        # to one file too; export result sets are small by design)
+        from geomesa_spark.operators.bin_export import bin_pack
+        from geomesa_spark.plans.compiler import GeoTable
+
+        track = (getattr(args, "bin_track", None) or schema.get("fid")
+                 or (schema.get("attr_indexes") or [None])[0])
+        if not track:
+            raise SystemExit("bin export needs --bin-track (schema has no "
+                             "fid or attribute index to track by)")
+        if not schema.get("dtg"):
+            raise SystemExit("bin export needs a dtg column in the schema")
+        t = GeoTable(df, lon=schema["lon"], lat=schema["lat"],
+                     dtg=schema["dtg"], fid=schema.get("fid"))
+        blobs = bin_pack(t, track).select("track", "record_bytes").collect()
+        with open(args.out, "wb") as f:
+            for r in sorted(blobs, key=lambda r: r["track"]):
+                f.write(bytes(r["record_bytes"]))
     elif fmt == "shp":
         # FeatureExporter shapefile path (TLS/FeatureExporter.scala:62-96):
         # point features + .dbf attributes; export targets are small result
@@ -385,8 +410,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", required=True)
     p.add_argument("--cql", default=None)
     p.add_argument("--format", default="csv",
-                   choices=["csv", "geojson", "gml", "arrow", "parquet", "shp"])
+                   choices=["csv", "tsv", "geojson", "gml", "arrow",
+                            "parquet", "shp", "bin"])
     p.add_argument("--out", required=True)
+    p.add_argument("--bin-track", default=None,
+                   help="track column for --format bin (default: fid)")
     p.add_argument("--max-features", type=int, default=None)
     p.add_argument("--properties", default=None, help="comma-separated projection")
     p.add_argument("--auths", default=None, help="visibility authorizations")

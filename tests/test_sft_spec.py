@@ -160,3 +160,43 @@ def test_cli_export_shapefile(tmp_path, capsys, spark):
     assert len(rows) == 8
     assert rows["f3"]["KIND"] == "k1"
     assert rows["f3"]["wkt"] == "POINT (-140.0 -65.0)"
+
+
+def test_cli_export_tsv_and_bin(tmp_path, capsys, spark):
+    """Reference Formats parity: tsv (delimited) and bin (packed 16-byte
+    records, byte-verified against the public BIN layout)."""
+    import struct
+
+    from geomesa_spark.cli import main
+
+    catalog = str(tmp_path / "cat3")
+    assert main(["create", "--catalog", catalog, "--name", "trk",
+                 "--spec", "fid:String,dtg:Date,*geom:Point:srid=4326",
+                 "--fid", "fid"]) == 0
+    csv = tmp_path / "trk.csv"
+    csv.write_text("\n".join(
+        f"t{i % 2},{i * 1.0},{i * 2.0},2024-01-01T0{i}:00:00Z"
+        for i in range(4)))
+    assert main(["ingest", "--catalog", catalog, "--name", "trk",
+                 "--file", str(csv), "--format", "csv",
+                 "--fields", "fid,lon,lat,dtg",
+                 "--cast", "lon:double", "--cast", "lat:double",
+                 "--cast", "dtg:timestamp"]) == 0
+
+    tsv_out = str(tmp_path / "out_tsv")
+    assert main(["export", "--catalog", catalog, "--name", "trk",
+                 "--format", "tsv", "--out", tsv_out,
+                 "--properties", "fid,lon,lat"]) == 0
+    got = spark.read.option("header", True).option("sep", "\t").csv(tsv_out)
+    assert got.count() == 4 and got.columns == ["fid", "lon", "lat"]
+
+    bin_out = str(tmp_path / "out.bin")
+    assert main(["export", "--catalog", catalog, "--name", "trk",
+                 "--format", "bin", "--out", bin_out]) == 0
+    raw = open(bin_out, "rb").read()
+    assert len(raw) == 4 * 16  # four 16-byte records
+    recs = [struct.unpack("<iiff", raw[i:i + 16]) for i in range(0, 64, 16)]
+    # per-track blobs concatenated track-sorted; each time-sorted inside
+    assert recs[0][0] == recs[1][0] and recs[2][0] == recs[3][0]  # hashes
+    assert recs[0][1] < recs[1][1] and recs[2][1] < recs[3][1]    # time order
+    assert {r[3] for r in recs} == {0.0, 1.0, 2.0, 3.0}           # lons
