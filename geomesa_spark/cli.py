@@ -213,7 +213,7 @@ def _export_df(args, df, schema):
     if fmt == "csv":
         out = df.select(*(props or df.columns))
         out.write.mode("overwrite").option("header", True).csv(args.out)
-    elif fmt == "geojson":
+    elif fmt in ("geojson", "json"):  # ExportCommand.scala:39: JSON == GeoJson
         from geomesa_spark.sources.convert import to_geojson
 
         line = to_geojson(df, lon=schema["lon"], lat=schema["lat"],
@@ -410,7 +410,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", required=True)
     p.add_argument("--cql", default=None)
     p.add_argument("--format", default="csv",
-                   choices=["csv", "tsv", "geojson", "gml", "arrow",
+                   choices=["csv", "tsv", "geojson", "json", "gml", "arrow",
                             "parquet", "shp", "bin"])
     p.add_argument("--out", required=True)
     p.add_argument("--bin-track", default=None,

@@ -190,6 +190,12 @@ def test_cli_export_tsv_and_bin(tmp_path, capsys, spark):
     got = spark.read.option("header", True).option("sep", "\t").csv(tsv_out)
     assert got.count() == 4 and got.columns == ["fid", "lon", "lat"]
 
+    json_out = str(tmp_path / "out_json")
+    assert main(["export", "--catalog", catalog, "--name", "trk",
+                 "--format", "json", "--out", json_out]) == 0  # GeoJson alias
+    line = spark.read.text(json_out).first()["value"]
+    assert '"type":"Feature"' in line
+
     bin_out = str(tmp_path / "out.bin")
     assert main(["export", "--catalog", catalog, "--name", "trk",
                  "--format", "bin", "--out", bin_out]) == 0
