@@ -2,7 +2,8 @@
 
 Mirrors the reference's command set
 (``TLS/src/main/scala/.../tools/commands/``): create / describe / list /
-ingest / export / explain / querystats / removeschema / version — with a
+ingest / export / explain / querystats / removeschema / deletecatalog /
+tableconf / ingestraster / deleteraster / version — with a
 filesystem catalog replacing the Accumulo connection: a catalog is a
 directory, a feature table is ``<catalog>/<name>/`` holding
 ``_schema.json`` (column roles + index config, the SimpleFeatureType
@@ -346,6 +347,114 @@ def cmd_version(args) -> int:
     return 0
 
 
+def cmd_delete_catalog(args) -> int:
+    """Delete an entire catalog (every table). Reference
+    ``TLS/commands/DeleteCatalogCommand.scala`` (PromptConfirm -> --force)."""
+    if not os.path.isdir(args.catalog):
+        raise SystemExit(f"no such catalog: {args.catalog}")
+    if not args.force:
+        raise SystemExit("refusing to delete a whole catalog without --force")
+    shutil.rmtree(args.catalog)
+    print(f"deleted catalog {args.catalog}")
+    return 0
+
+
+# schema keys tableconf may update, with their coercions (the reference's
+# TableConfCommand list/describe/update over table properties)
+_TABLECONF_KEYS = {
+    "lon": str, "lat": str, "dtg": str, "fid": str,
+    "st_copy": lambda v: v.lower() in ("true", "1", "yes"),
+    "target_partitions": int,
+}
+
+
+def cmd_tableconf(args) -> int:
+    schema = _load_schema(args.catalog, args.name)
+    if args.action == "list":
+        for k in sorted(schema):
+            print(f"{k}={json.dumps(schema[k])}")
+        return 0
+    if not args.param:
+        raise SystemExit("describe/update need --param")
+    if args.action == "describe":
+        print(f"{args.param}={json.dumps(schema.get(args.param))}")
+        return 0
+    # update
+    if args.param not in _TABLECONF_KEYS:
+        raise SystemExit(
+            f"not an updatable key: {args.param} "
+            f"(updatable: {sorted(_TABLECONF_KEYS)})"
+        )
+    if args.value is None:
+        raise SystemExit("update needs --value")
+    schema[args.param] = _TABLECONF_KEYS[args.param](args.value)
+    with open(os.path.join(_table_dir(args.catalog, args.name),
+                           SCHEMA_FILE), "w") as f:
+        json.dump(schema, f, indent=2)
+    print(f"updated {args.param}")
+    return 0
+
+
+RASTER_META = "_raster.json"
+
+
+def cmd_ingest_raster(args) -> int:
+    """Ingest one raster chunk file into a raster table
+    (``TLS/commands/IngestRasterCommand.scala`` / ``ingest/RasterIngest``).
+
+    The payload is stored as an opaque binary column (GeoTIFF/DTED decode
+    needs imaging libs this sandbox lacks — same declared seam as
+    ``operators/multimodal``); tile keying, bbox metadata, level registry
+    and the query path (``operators/tiling.raster_query``) are real."""
+    from geomesa_spark.cells.tiles import tile_id
+
+    bounds = [float(x) for x in args.bounds.split(",")]
+    if len(bounds) != 4 or bounds[0] >= bounds[2] or bounds[1] >= bounds[3]:
+        raise SystemExit("--bounds must be lon_min,lat_min,lon_max,lat_max")
+    with open(args.file, "rb") as f:
+        payload = f.read()
+    d = os.path.join(_table_dir(args.catalog, args.name), "raster")
+    meta_path = os.path.join(_table_dir(args.catalog, args.name), RASTER_META)
+    meta = {"levels": []}
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+    os.makedirs(d, exist_ok=True)
+
+    spark = _session(args)
+    cx = (bounds[0] + bounds[2]) / 2.0
+    cy = (bounds[1] + bounds[3]) / 2.0
+    tid = int(tile_id(cx, cy, args.level))
+    row = [(tid, bounds[0], bounds[1], bounds[2], bounds[3],
+            os.path.basename(args.file), payload)]
+    df = spark.createDataFrame(
+        row,
+        "tile_id long, c_lon_min double, c_lat_min double, "
+        "c_lon_max double, c_lat_max double, source string, payload binary",
+    )
+    df.write.mode("append").parquet(os.path.join(d, f"level={args.level}"))
+    if args.level not in meta["levels"]:
+        meta["levels"] = sorted(meta["levels"] + [args.level])
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    print(f"ingested raster chunk into {args.name} at level {args.level} "
+          f"(tile {tid})")
+    return 0
+
+
+def cmd_delete_raster(args) -> int:
+    d = os.path.join(_table_dir(args.catalog, args.name), "raster")
+    meta_path = os.path.join(_table_dir(args.catalog, args.name), RASTER_META)
+    if not os.path.isdir(d):
+        raise SystemExit(f"no raster table for {args.name}")
+    if not args.force:
+        raise SystemExit("refusing to delete raster data without --force")
+    shutil.rmtree(d)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    print(f"deleted raster data for {args.name}")
+    return 0
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -436,6 +545,35 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("querystats", help="print the query audit log")
     common(p)
     p.set_defaults(fn=cmd_query_stats)
+
+    p = sub.add_parser("deletecatalog", help="delete an entire catalog")
+    common(p)
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_delete_catalog)
+
+    p = sub.add_parser("tableconf", help="list/describe/update table config")
+    common(p)
+    p.add_argument("action", choices=["list", "describe", "update"])
+    p.add_argument("--name", required=True)
+    p.add_argument("--param", default=None)
+    p.add_argument("--value", default=None)
+    p.set_defaults(fn=cmd_tableconf)
+
+    p = sub.add_parser("ingestraster", help="ingest a raster chunk file")
+    common(p, data=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--file", required=True)
+    p.add_argument("--bounds", required=True,
+                   help="lon_min,lat_min,lon_max,lat_max "
+                        "(use --bounds=-80,... when lon_min is negative)")
+    p.add_argument("--level", type=int, required=True)
+    p.set_defaults(fn=cmd_ingest_raster)
+
+    p = sub.add_parser("deleteraster", help="delete a table's raster data")
+    common(p)
+    p.add_argument("--name", required=True)
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_delete_raster)
 
     p = sub.add_parser("version", help="print the engine version")
     p.set_defaults(fn=cmd_version)
