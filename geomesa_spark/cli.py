@@ -162,12 +162,13 @@ def cmd_ingest(args) -> int:
     fmt = args.format
     if fmt == "parquet":
         df = spark.read.parquet(args.file)
-    elif fmt == "csv":
-        raw = spark.read.text(args.file)
+    elif fmt in ("csv", "tsv"):  # IngestCommand.scala:29 CSV | TSV
+        raw = spark.read.text(args.file)  # .gz/.bz2 decompress transparently
         fields = args.fields.split(",") if args.fields else None
         if fields is None:
-            raise SystemExit("--fields a,b,c is required for csv ingest")
-        lines = delimited_text(raw, "value", args.delimiter, fields)
+            raise SystemExit("--fields a,b,c is required for csv/tsv ingest")
+        delim = "\t" if fmt == "tsv" else args.delimiter
+        lines = delimited_text(raw, "value", delim, fields)
         if args.spec:
             # DSL convention: $0 = the whole raw record, $1..n = the split
             # fields — the raw-record column leads the positional list
@@ -506,7 +507,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", required=True)
     p.add_argument("--file", required=True)
     p.add_argument("--format", default="csv",
-                   choices=["csv", "parquet", "shp", "avro"])
+                   choices=["csv", "tsv", "parquet", "shp", "avro"])
     p.add_argument("--delimiter", default=",")
     p.add_argument("--fields", default=None, help="comma-separated raw field names")
     p.add_argument("--spec", action="append",

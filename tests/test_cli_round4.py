@@ -75,3 +75,16 @@ def test_ingestraster_and_query_and_delete(tmp_path, capsys, spark):
     assert main(["deleteraster", "--catalog", catalog, "--name", "ras",
                  "--force"]) == 0
     assert not os.path.exists(tmp_path / "cat" / "ras" / "raster")
+
+
+def test_ingest_tsv_format(tmp_path, capsys, spark):
+    catalog = str(tmp_path / "cat_tsv")
+    assert main(["create", "--catalog", catalog, "--name", "t",
+                 "--fid", "fid"]) == 0
+    tsv = tmp_path / "in.tsv"
+    tsv.write_text("\n".join(f"f{i}\t{i * 1.0}\t{i * 2.0}" for i in range(5)))
+    assert main(["ingest", "--catalog", catalog, "--name", "t",
+                 "--file", str(tsv), "--format", "tsv",
+                 "--fields", "fid,lon,lat",
+                 "--cast", "lon:double", "--cast", "lat:double"]) == 0
+    assert "ingested 5 features" in capsys.readouterr().out
