@@ -1,0 +1,109 @@
+"""Corpus cleaning operators: PII redaction and boilerplate-line removal.
+
+Standard stages of a web-scale training-data pipeline (the CCNet/C4-style
+cleanup that runs right after text extraction):
+
+* :func:`redact_pii` — replace emails / IPv4s / international phone runs
+  with typed placeholders. Pure ``regexp_replace`` whole-stage codegen, no
+  shuffle, no python; patterns restricted to syntax that Java regex and
+  RE2 (the DuckDB oracle engine) interpret identically (no backrefs, no
+  lookaround).
+* :func:`remove_boilerplate` — drop lines that repeat across a large
+  fraction of a group's documents (site headers/footers/nav). Two hash
+  shuffles total: one to count distinct docs per (group, line), one to
+  reassemble; group sizes ride a broadcast join. Per-(group,line) counts
+  are bounded by the line vocabulary, so the shuffle carries no payload
+  bytes beyond the distinct lines themselves — scale-safe at 10^12 docs
+  where per-doc python or windowed sorts would not be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex / RE2 common subset (no lookaround, no backrefs)
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{9,15}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Emails -> ``<EMAIL>``, IPv4 -> ``<IP>``, +international phone runs
+    -> ``<PHONE>`` (applied in that order; the email pass runs first so an
+    address's host part is never half-eaten by the IP pass)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """Match counts per category (audit columns; same patterns)."""
+    return (_count(text, EMAIL_RE), _count(text, IPV4_RE),
+            _count(text, PHONE_RE))
+
+
+def _count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Remove lines appearing in ``>= max(min_docs, max_ratio * group
+    size)`` distinct documents of the same group (domain/site).
+
+    Returns (id, group, clean text, n_lines_kept, n_lines_removed); empty
+    documents keep an empty string. Line identity is exact (the reference
+    cleanup granularity); ordering inside a document is preserved via the
+    exploded position.
+    """
+    did, grp = F.col(id_col), F.col(group_col)
+    lines = df.select(
+        did.alias("__id"), grp.alias("__grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    group_sizes = df.groupBy(grp.alias("__grp")).agg(
+        F.countDistinct(did).alias("__gsize")
+    )
+    line_docs = lines.groupBy("__grp", "__line").agg(
+        F.countDistinct("__id").alias("__ndocs")
+    )
+    boiler = (
+        line_docs.join(F.broadcast(group_sizes), "__grp")
+        .filter(
+            (F.col("__ndocs") >= F.lit(min_docs))
+            & (F.col("__ndocs") >= F.col("__gsize") * F.lit(max_ratio))
+        )
+        .select("__grp", "__line")
+        .withColumn("__boiler", F.lit(True))
+    )
+    tagged = lines.join(boiler, ["__grp", "__line"], "left")
+    kept = F.expr(
+        "sort_array(collect_list(CASE WHEN __boiler IS NULL "
+        "THEN struct(__pos, __line) END))"
+    )
+    return (
+        tagged.groupBy("__id", "__grp")
+        .agg(
+            kept.alias("__kept"),
+            F.count("*").alias("__total"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__grp").alias(group_col),
+            F.concat_ws(
+                "\n", F.expr("transform(__kept, x -> x.__line)")
+            ).alias(text_col),
+            F.size("__kept").cast("int").alias("n_lines_kept"),
+            (F.col("__total") - F.size("__kept")).cast("int").alias(
+                "n_lines_removed"
+            ),
+        )
+    )
