@@ -1310,6 +1310,25 @@ def _q_boilerplate(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the 13-gram overlap rule): flag corpus
+    docs sharing any token-aligned 13-gram with an eval set. The eval set
+    here is the first 13 tokens of every 97th document, so contamination
+    is real (each source doc hits its own gram; exact-dup docs hit each
+    other's). The DuckDB twin materializes every token window with
+    generate_series + list_slice — a full independent implementation, not
+    a closed form."""
+    from geomesa_spark.operators.textclean import decontaminate
+
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 13)).alias("text"),
+    )
+    return decontaminate(docs, bench, n=13)
+
+
 def _q_sql_functions(spark, sf_dir):
     """The registered st_* SQL surface driving a plain spark.sql query.
     Distances stay internal (numpy vs libm trig can differ in the last
@@ -1368,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shp_roundtrip": _q_shp_roundtrip,
         "redact_pii": _q_redact_pii,
         "boilerplate": _q_boilerplate,
+        "decontaminate": _q_decontaminate,
         # -- load-bearing, green in r3 (kept inside the checked window) -----
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
@@ -1388,11 +1408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_poly": _q_spatial_join_poly,
         "spatial_join_geoms": _q_spatial_join_geoms,
         "density": _q_density,
-        "temporal_density": _q_temporal_density,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         # ---- slot 51+ (all green in CORRECTNESS_r01-r03) -------------------
+        "temporal_density": _q_temporal_density,
         "ann_ivf": _q_ann_ivf,
         "embed_dedup": _q_embed_dedup,
         "bbox_time": _q_bbox_time,
@@ -2048,6 +2068,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(raw,
                        '\+[0-9]{9,15}')) AS INTEGER) AS n_phone
             FROM built
+        """,
+        "decontaminate": """
+            WITH bench AS (
+                SELECT doc_id AS bid,
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 13), ' '
+                       ) AS gram
+                FROM documents
+                WHERE doc_id % 97 = 0
+                  AND len(string_split(text, ' ')) >= 13
+            ),
+            toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            wins AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(t, i, i + 12), ' ') AS w
+                FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+            )
+            SELECT w.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_hits,
+                   CAST(count(DISTINCT b.bid) AS INTEGER) AS n_bench_hit
+            FROM wins w JOIN bench b ON w.w = b.gram
+            GROUP BY w.doc_id
         """,
         "boilerplate": """
             SELECT doc_id, lang,

@@ -48,6 +48,63 @@ def _count(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    bench_id: str = "bench_id",
+    n: int = 13,
+) -> DataFrame:
+    """Flag corpus documents sharing any token-aligned ``n``-gram with a
+    benchmark/eval set (the standard 13-gram decontamination rule used
+    before training on web corpora).
+
+    Shape at 10^12 docs: the benchmark side is tiny by construction
+    (eval sets), so its distinct gram hashes BROADCAST; the corpus side
+    streams through one projection that explodes token windows to 64-bit
+    hashes — no corpus shuffle at all, one hash-aggregate on the (small)
+    join output. Returns one row per CONTAMINATED doc:
+    (id, n_hits, n_bench_hit) — n_hits = matching window count, n_bench_hit
+    = distinct benchmark docs hit.
+    """
+    did = F.col(id_col)
+
+    def windows(text: Column) -> Column:
+        # token-aligned n-gram windows as 64-bit hashes; docs shorter than
+        # n tokens yield an EMPTY array (a bare sequence(0, size-n) would
+        # DESCEND for negative stops — Spark sequences are never empty)
+        toks = F.split(text, " ")
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )
+
+    bgrams = (
+        bench.select(
+            F.col(bench_id).alias("__bid"),
+            F.explode(windows(F.col(bench_text))).alias("__g"),
+        )
+        .distinct()
+    )
+    dgrams = docs.select(
+        did.alias("__id"), F.explode(windows(F.col(text_col))).alias("__g")
+    )
+    return (
+        dgrams.join(F.broadcast(bgrams), "__g")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("int").alias("n_hits"),
+            F.countDistinct("__bid").cast("int").alias("n_bench_hit"),
+        )
+        .select(F.col("__id").alias(id_col), "n_hits", "n_bench_hit")
+    )
+
+
 def remove_boilerplate(
     df: DataFrame,
     text_col: str,

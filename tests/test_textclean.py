@@ -83,3 +83,41 @@ def test_remove_boilerplate_all_lines_removed(spark):
     out = remove_boilerplate(df, "text", "domain", "doc_id",
                              min_docs=2, max_ratio=0.5).collect()
     assert all(r["text"] == "" and r["n_lines_kept"] == 0 for r in out)
+
+
+def test_decontaminate_13gram_rule(spark):
+    from geomesa_spark.operators.textclean import decontaminate
+
+    words = "w{} " * 30
+    doc_a = " ".join(f"a{i}" for i in range(30))          # source of gram
+    doc_b = "x " + " ".join(f"a{i}" for i in range(13)) + " y z"  # contains it
+    doc_c = " ".join(f"c{i}" for i in range(30))          # clean
+    doc_d = " ".join(f"a{i}" for i in range(12))          # too short (12 toks)
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c), (4, doc_d)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(f"a{i}" for i in range(13)))],  # exactly 13 tokens
+        "bench_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["n_bench_hit"])
+           for r in decontaminate(docs, bench).collect()}
+    # doc_a contains the gram once (window at pos 0), doc_b once at pos 1
+    assert got == {1: (1, 1), 2: (1, 1)}
+
+
+def test_decontaminate_substring_not_token_aligned(spark):
+    """A substring match that is NOT token-aligned must NOT flag: 'aa bb'
+    appears inside 'xaa bbx' textually but not as aligned tokens."""
+    from geomesa_spark.operators.textclean import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "pre xaa bb post q r")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "xaa bb post")], "bench_id long, text string")
+    got = decontaminate(docs, bench, n=3).collect()
+    assert len(got) == 1 and got[0]["n_hits"] == 1  # aligned 3-gram matches
+    bench2 = spark.createDataFrame(
+        [(9, "aa bb post")], "bench_id long, text string")
+    assert decontaminate(docs, bench2, n=3).collect() == []
