@@ -1329,6 +1329,36 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=13)
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals over a constructed
+    multi-line corpus: document text re-lined 10 tokens/line, plus the
+    first line re-appended doc_id%3 times (planted duplicate-line mass).
+    All four signals are exact-count ratios, so the DuckDB twin — a full
+    independent unnest/GROUP BY implementation — hash-matches bit-for-bit."""
+    from geomesa_spark.operators.textclean import repetition_signals
+
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
+    did = F.col("doc_id").cast("long")
+    toks = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    body = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+        ),
+    )
+    first_line = F.concat_ws(" ", F.slice(toks, 1, 10))
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            body,
+            F.repeat(F.concat(F.lit("\n"), first_line), (did % 3).cast("int")),
+        ).alias("text"),
+    )
+    return repetition_signals(built)
+
+
 def _q_sql_functions(spark, sf_dir):
     """The registered st_* SQL surface driving a plain spark.sql query.
     Distances stay internal (numpy vs libm trig can differ in the last
@@ -1388,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "boilerplate": _q_boilerplate,
         "decontaminate": _q_decontaminate,
+        "repetition": _q_repetition,
         # -- load-bearing, green in r3 (kept inside the checked window) -----
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
@@ -1410,8 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density": _q_density,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
         # ---- slot 51+ (all green in CORRECTNESS_r01-r03) -------------------
+        "simhash": _q_simhash,
         "temporal_density": _q_temporal_density,
         "ann_ivf": _q_ann_ivf,
         "embed_dedup": _q_embed_dedup,
@@ -2092,6 +2123,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT b.bid) AS INTEGER) AS n_bench_hit
             FROM wins w JOIN bench b ON w.w = b.gram
             GROUP BY w.doc_id
+        """,
+        "repetition": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ),
+            built AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_transform(
+                               generate_series(0,
+                                   CAST(ceil(len(tk) / 10.0) AS INT) - 1),
+                               i -> array_to_string(
+                                   list_slice(tk, i * 10 + 1, i * 10 + 10),
+                                   ' ')
+                           ), chr(10))
+                       || repeat(
+                           chr(10) || array_to_string(
+                               list_slice(tk, 1, 10), ' '),
+                           CAST(doc_id % 3 AS INT)) AS txt
+                FROM t
+            ),
+            lines AS (
+                SELECT doc_id, u.l
+                FROM built, UNNEST(string_split(txt, chr(10))) AS u(l)
+            ),
+            per_line AS (
+                SELECT doc_id, l, count(*) AS c FROM lines GROUP BY 1, 2
+            ),
+            line_sig AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS INTEGER) AS n_lines,
+                       CASE WHEN sum(c) = 0 THEN 0.0 ELSE
+                           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                       END AS dup_line_frac,
+                       CASE WHEN sum(c * len(l)) = 0 THEN 0.0 ELSE
+                           CAST(sum(CASE WHEN c > 1 THEN c * len(l)
+                                    ELSE 0 END) AS DOUBLE)
+                           / CAST(sum(c * len(l)) AS DOUBLE)
+                       END AS dup_line_char_frac
+                FROM per_line GROUP BY doc_id
+            ),
+            bt AS (
+                SELECT doc_id,
+                       string_split(replace(txt, chr(10), ' '), ' ') AS tk2,
+                       len(replace(txt, chr(10), ' ')) AS tlen
+                FROM built
+            ),
+            bgs AS (
+                SELECT doc_id, tlen,
+                       array_to_string(list_slice(tk2, i, i + 1), ' ') AS bg
+                FROM bt, UNNEST(generate_series(1, len(tk2) - 1)) AS u(i)
+            ),
+            per_bg AS (
+                SELECT doc_id, bg, count(*) AS c, first(tlen) AS tlen
+                FROM bgs GROUP BY 1, 2
+            ),
+            bg_sig AS (
+                SELECT doc_id,
+                       CASE WHEN first(tlen) = 0 THEN 0.0 ELSE
+                           CAST(max(c * len(bg)) AS DOUBLE)
+                           / CAST(first(tlen) AS DOUBLE)
+                       END AS top_bigram_mass_frac
+                FROM per_bg GROUP BY doc_id
+            )
+            SELECT l.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+                   COALESCE(top_bigram_mass_frac, 0.0) AS top_bigram_mass_frac
+            FROM line_sig l LEFT JOIN bg_sig b ON l.doc_id = b.doc_id
         """,
         "boilerplate": """
             SELECT doc_id, lang,

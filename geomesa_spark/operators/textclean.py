@@ -105,6 +105,84 @@ def decontaminate(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (the quality rules
+    that catch template/spam pages): per doc,
+
+    * ``n_lines`` — newline-split line count;
+    * ``dup_line_frac`` — fraction of lines whose exact line string occurs
+      more than once in the document;
+    * ``dup_line_char_frac`` — character-mass fraction of those lines;
+    * ``top_bigram_mass_frac`` — the largest single word-bigram's character
+      mass (count x bigram length) over the whole text length.
+
+    All ratios are exact integer counts divided once in float64, so a SQL
+    oracle reproduces them bit-for-bit. Two doc-id-keyed hash shuffles
+    (lines, bigrams) — the standard per-doc aggregation shape, no python.
+    """
+    did = F.col(id_col)
+    norm = F.regexp_replace(F.col(text_col), "\n", " ")
+
+    lines = df.select(
+        did.alias("__id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__ln"),
+    )
+    per_line = lines.groupBy("__id", "__ln").agg(F.count("*").alias("__c"))
+    c, ln_len = F.col("__c"), F.length("__ln")
+    dup_c = F.sum(F.when(c > 1, c).otherwise(F.lit(0)))
+    dup_chars = F.sum(F.when(c > 1, c * ln_len).otherwise(F.lit(0)))
+    tot_c = F.sum(c)
+    tot_chars = F.sum(c * ln_len)
+
+    def frac(num, den):
+        den = den.cast("double")
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den
+        )
+
+    line_sig = per_line.groupBy("__id").agg(
+        tot_c.cast("int").alias("n_lines"),
+        frac(dup_c, tot_c).alias("dup_line_frac"),
+        frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
+    )
+
+    toks = F.split(norm, " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = df.select(
+        did.alias("__id"),
+        F.length(norm).alias("__tlen"),
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+        ).alias("__bg"),
+    )
+    per_bg = bigrams.groupBy("__id", "__bg").agg(
+        F.count("*").alias("__c"), F.first("__tlen").alias("__tlen")
+    )
+    bg_sig = per_bg.groupBy("__id").agg(
+        frac(F.max(F.col("__c") * F.length("__bg")), F.first("__tlen")).alias(
+            "top_bigram_mass_frac"
+        )
+    )
+    return (
+        line_sig.join(bg_sig, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.coalesce("top_bigram_mass_frac", F.lit(0.0)).alias(
+                "top_bigram_mass_frac"
+            ),
+        )
+    )
+
+
 def remove_boilerplate(
     df: DataFrame,
     text_col: str,

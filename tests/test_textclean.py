@@ -121,3 +121,25 @@ def test_decontaminate_substring_not_token_aligned(spark):
     bench2 = spark.createDataFrame(
         [(9, "aa bb post")], "bench_id long, text string")
     assert decontaminate(docs, bench2, n=3).collect() == []
+
+
+def test_repetition_signals(spark):
+    from geomesa_spark.operators.textclean import repetition_signals
+
+    rows = [
+        # 4 lines, "dup" twice: dup_line_frac=0.5; chars: dup=3+3 of 3+3+5+7
+        (1, "dup\ndup\nabcde\nabcdefg"),
+        (2, "solo line one\nsolo line two"),      # no dup lines
+        (3, "a b a b a b"),                        # dominant bigram "a b"
+        (4, ""),                                   # empty text edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_line_char_frac"] == 6 / 18
+    assert got[2]["dup_line_frac"] == 0.0
+    # "a b" occurs 3x among the 5 bigrams of doc 3; mass = 3*3 over 11 chars
+    assert abs(got[3]["top_bigram_mass_frac"] - 9 / 11) < 1e-15
+    assert got[4]["n_lines"] == 1 and got[4]["dup_line_char_frac"] == 0.0
+    assert got[4]["top_bigram_mass_frac"] == 0.0
