@@ -1359,6 +1359,21 @@ def _q_repetition(spark, sf_dir):
     return repetition_signals(built)
 
 
+_BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
+
+
+def _q_blocklist(spark, sf_dir):
+    """Domain-blocklist filtering (UT1-style): flag mode over the crawl
+    url table — one row per doc, blocked_domain NULL for survivors. The
+    fixture hosts are two-label, so the oracle's suffix test (equality OR
+    dot-suffix LIKE) mirrors the engine's suffix-chain join; subdomain
+    cases are pinned in test_urlops."""
+    from geomesa_spark.functions.urls import blocklist_filter
+
+    p = _url_pages(_utc(spark), sf_dir).select("doc_id", "url")
+    return blocklist_filter(p, _BLOCKED_DOMAINS, mode="flag")
+
+
 def _q_sql_functions(spark, sf_dir):
     """The registered st_* SQL surface driving a plain spark.sql query.
     Distances stay internal (numpy vs libm trig can differ in the last
@@ -1419,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": _q_boilerplate,
         "decontaminate": _q_decontaminate,
         "repetition": _q_repetition,
+        "blocklist": _q_blocklist,
         # -- load-bearing, green in r3 (kept inside the checked window) -----
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
@@ -1433,7 +1449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_lookup": _q_record_lookup,
         "or_union": _q_or_union,
         "knn": _q_knn,
-        "proximity": _q_proximity,
         "tube": _q_tube,
         "spatial_join_boxes": _q_spatial_join_boxes,
         "spatial_join_poly": _q_spatial_join_poly,
@@ -1442,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh": _q_minhash_lsh,
         # ---- slot 51+ (all green in CORRECTNESS_r01-r03) -------------------
+        "proximity": _q_proximity,
         "simhash": _q_simhash,
         "temporal_density": _q_temporal_density,
         "ann_ivf": _q_ann_ivf,
@@ -2123,6 +2139,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT b.bid) AS INTEGER) AS n_bench_hit
             FROM wins w JOIN bench b ON w.w = b.gram
             GROUP BY w.doc_id
+        """,
+        "blocklist": _URL_CANON_CTE + """
+            SELECT doc_id, url,
+                   CASE
+                     WHEN host = 'site13.example'
+                          OR host LIKE '%.site13.example'
+                       THEN 'site13.example'
+                     WHEN host = 'site250.example'
+                          OR host LIKE '%.site250.example'
+                       THEN 'site250.example'
+                     WHEN host = 'site777.example'
+                          OR host LIKE '%.site777.example'
+                       THEN 'site777.example'
+                   END AS blocked_domain
+            FROM hp
         """,
         "repetition": """
             WITH t AS (

@@ -434,7 +434,7 @@ def _time_queries(spark) -> dict[str, float]:
         # per-query timings are only comparable at the same sequence slot)
         "bounds", "count_by_day", "density_wkt", "geoparse_docs",
         "or_union", "record_lookup", "spatial_join_boxes", "sql_functions",
-        "redact_pii", "boilerplate", "decontaminate", "repetition",
+        "redact_pii", "boilerplate", "decontaminate", "repetition", "blocklist",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

@@ -150,3 +150,60 @@ def domain_stats(
     if size_col is not None:
         aggs.append(F.sum(F.col(size_col)).cast("long").alias("total_bytes"))
     return c.groupBy(F.col("__host").alias("host")).agg(*aggs)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-boundary suffixes of a host: ``a.b.c -> [a.b.c, b.c, c]``
+    (the match set for domain-blocklist semantics, where an entry blocks
+    itself and every subdomain)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    mode: str = "clean",
+) -> DataFrame:
+    """Domain-blocklist filtering (the UT1/adult-blocklist stage of a
+    crawl pipeline): a blocked domain removes its own pages and every
+    subdomain's (dot-boundary suffix match, never substring).
+
+    ``blocked`` is a DataFrame with a ``domain`` column or a plain list of
+    domains. Scale shape at 10^12 rows: the blocklist (small) BROADCASTS
+    against the exploded suffix projection (<= host-label-count rows per
+    doc, no shuffle); only the HIT rows — usually a tiny fraction — reach
+    the per-id aggregate, and the final semi/anti join keys on ``id_col``.
+    The corpus is never collected, re-broadcast, or suffix-sorted.
+
+    ``mode='clean'`` returns the surviving rows unchanged;
+    ``mode='flag'`` returns df + ``blocked_domain`` (NULL when clean; the
+    lexicographically-smallest matching entry otherwise, deterministic).
+    """
+    spark = df.sparkSession
+    if isinstance(blocked, (list, tuple)):
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    bl = blocked.select(F.lower(F.col("domain")).alias("__bd")).distinct()
+    url = F.col(url_col)
+    sufs = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(host_suffixes(url_host(url))).alias("__s"),
+    )
+    hits = (
+        sufs.join(F.broadcast(bl), sufs["__s"] == bl["__bd"])
+        .groupBy("__id")
+        .agg(F.min("__bd").alias("blocked_domain"))
+    )
+    if mode == "clean":
+        return df.join(hits, df[id_col] == hits["__id"], "left_anti")
+    if mode == "flag":
+        return df.join(hits, df[id_col] == hits["__id"], "left").drop("__id")
+    raise ValueError(f"mode must be clean|flag, got {mode!r}")

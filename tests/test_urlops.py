@@ -208,3 +208,50 @@ def test_fragment_question_mark_does_not_leak(spark):
     assert got[0] == "https://h.example/p"
     assert got[1] == "https://h.example/p"
     assert got[2] == "https://h.example/p?a=1"
+
+
+# ---------------------------------------------------------------------------
+# round 4: domain blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_host_suffixes(spark):
+    from geomesa_spark.functions.urls import host_suffixes
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a.b.example.com",)], "h string")
+    got = df.select(host_suffixes(F.col("h")).alias("s")).first()["s"]
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from geomesa_spark.functions.urls import blocklist_filter
+
+    rows = [
+        (1, "https://Ads.Tracker.example/x"),     # subdomain of blocked
+        (2, "https://tracker.example/x"),         # exactly blocked
+        (3, "https://nottracker.example/x"),      # substring, NOT suffix
+        (4, "https://fine.example:443/ok"),       # clean (port stripped)
+        (5, "https://sub.bad.org/p?q=1"),         # second entry
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["Tracker.example", "bad.org"]      # case-insensitive entries
+
+    clean = blocklist_filter(df, blocked, mode="clean")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3, 4]
+    assert clean.columns == ["doc_id", "url"]     # schema unchanged
+
+    flag = {r["doc_id"]: r["blocked_domain"]
+            for r in blocklist_filter(df, blocked, mode="flag").collect()}
+    assert flag == {1: "tracker.example", 2: "tracker.example",
+                    3: None, 4: None, 5: "bad.org"}
+
+
+def test_blocklist_filter_plan_broadcasts(spark):
+    from geomesa_spark.functions.urls import blocklist_filter
+
+    df = spark.createDataFrame([(i, f"https://h{i}.x/p") for i in range(50)],
+                               "doc_id long, url string")
+    plan = blocklist_filter(df, ["h3.x"], mode="clean")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
