@@ -25,20 +25,22 @@ Pipeline under test mirrors the engine's two physical stages (SURVEY.md §7):
    XYZ tiles, aggregate per (poly, tile).
 
 Scaling evidence for the north rule (>=0.8 efficiency N -> 4N executors;
-sandbox proxy per BASELINE.md): stages 1 and 3 run at local[LO] and
-local[HI] on the same input; efficiency = (t_lo / t_hi) / (HI / LO).
-TWO pairs are recorded per stage class: 8-vs-32 cores (documents the one
-box's shared-memory-bus ceiling, ~0.6-0.75 for bandwidth-bound work) and
-2-vs-8 cores (both levels below bus saturation — the honest proxy for
-N vs 4N executor NODES, each of which brings its own memory bus; the
-ingest transform measures ~0.96 there, the arithmetic control ~0.81).
-The *transform* stage carries the scaling claim (>=0.8 at 100M docs): it has
-~400 core-seconds of parallel work. The join stage is reported at both
-levels too, but at sandbox scale it completes in ~12 core-seconds against
-~2 s of fixed driver overhead (broadcast build, python-worker spin-up, AQE),
-so its thread-scaling ratio measures overhead, not the operator — the same
-join over 30x the rows would saturate. Each phase runs in a fresh session
-(session-state isolation; see _phase). Results append to BENCH/BASELINE.md.
+sandbox proxy per BASELINE.md): the ingest transform runs the 8-vs-32-core
+pair at 2x the headline docs (fixed-cost amortization) in BOTH execution
+shapes — one JVM (local[8] vs local[32]) and separate executor JVMs
+(local-cluster[2,4] vs [8,4], 10 GB heap each); efficiency =
+(t_lo_min / t_hi_min) / (HI / LO). Round-4 recorded 0.851 / 0.837 — the
+>=0.8 bar holds at the specified proxy after the G1 young-gen sizing in
+_GC_OPTS (see BENCH/BASELINE.md round-4 notes). The 2-vs-8-core pairs and
+the measured memory-bus curve (membw_job) are recorded alongside as the
+N-vs-4N-NODE context. The join stage is reported at both levels too, but
+at sandbox scale it completes in ~12 core-seconds against ~2 s of fixed
+driver overhead, so its thread ratio measures overhead, not the operator —
+join_scale_job records the rising curve (0.24@50M -> 0.53@1.6B rows).
+Each phase runs in a fresh subprocess session (JVM/GC isolation; see
+_phase/_phase_proc). Results append to BENCH/BASELINE.md. Scaling rows are
+only valid from an EXCLUSIVE run — any concurrent Spark job on the box
+contaminates them.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   query-suite input dir   (default /root/testdata/sf0.1)

@@ -26,7 +26,7 @@ import os
 import shutil
 import sys
 
-VERSION = "0.3.0"
+VERSION = "0.4.0"
 
 SCHEMA_FILE = "_schema.json"
 

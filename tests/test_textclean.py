@@ -88,7 +88,6 @@ def test_remove_boilerplate_all_lines_removed(spark):
 def test_decontaminate_13gram_rule(spark):
     from geomesa_spark.operators.textclean import decontaminate
 
-    words = "w{} " * 30
     doc_a = " ".join(f"a{i}" for i in range(30))          # source of gram
     doc_b = "x " + " ".join(f"a{i}" for i in range(13)) + " y z"  # contains it
     doc_c = " ".join(f"c{i}" for i in range(30))          # clean
