@@ -168,19 +168,21 @@ def blocklist_filter(
     df: DataFrame,
     blocked,
     url_col: str = "url",
-    id_col: str = "doc_id",
     mode: str = "clean",
+    max_entry_labels: int = 8,
 ) -> DataFrame:
     """Domain-blocklist filtering (the UT1/adult-blocklist stage of a
     crawl pipeline): a blocked domain removes its own pages and every
     subdomain's (dot-boundary suffix match, never substring).
 
     ``blocked`` is a DataFrame with a ``domain`` column or a plain list of
-    domains. Scale shape at 10^12 rows: the blocklist (small) BROADCASTS
-    against the exploded suffix projection (<= host-label-count rows per
-    doc, no shuffle); only the HIT rows — usually a tiny fraction — reach
-    the per-id aggregate, and the final semi/anti join keys on ``id_col``.
-    The corpus is never collected, re-broadcast, or suffix-sorted.
+    domains. Scale shape at 10^12 rows: ZERO corpus shuffle — the verdict
+    is a per-row function, computed by ``max_entry_labels`` successive
+    broadcast equi-joins, one per candidate suffix depth (the j shortest
+    dot-suffixes of the host; blocklist entries are overwhelmingly 2-3
+    labels, so entries deeper than ``max_entry_labels`` labels are the
+    documented out-of-scope tail). An explode + join-back would re-key the
+    whole corpus by id; this stays a single map-side pass.
 
     ``mode='clean'`` returns the surviving rows unchanged;
     ``mode='flag'`` returns df + ``blocked_domain`` (NULL when clean; the
@@ -193,17 +195,26 @@ def blocklist_filter(
         )
     bl = blocked.select(F.lower(F.col("domain")).alias("__bd")).distinct()
     url = F.col(url_col)
-    sufs = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(host_suffixes(url_host(url))).alias("__s"),
-    )
-    hits = (
-        sufs.join(F.broadcast(bl), sufs["__s"] == bl["__bd"])
-        .groupBy("__id")
-        .agg(F.min("__bd").alias("blocked_domain"))
+    out = df.withColumn("__sufs", host_suffixes(url_host(url)))
+    match_cols = []
+    for j in range(1, max_entry_labels + 1):
+        # j-th SHORTEST suffix (TLD side): a.b.c -> j=1: c, j=2: b.c, ...
+        blj = bl.withColumnRenamed("__bd", f"__bd{j}")
+        out = out.join(
+            F.broadcast(blj),
+            F.get(F.col("__sufs"), F.size("__sufs") - j) == F.col(f"__bd{j}"),
+            "left",
+        )
+        match_cols.append(F.col(f"__bd{j}"))
+    verdict = (match_cols[0] if len(match_cols) == 1
+               else F.least(*match_cols))  # least() skips NULLs
+    out = out.withColumn("blocked_domain", verdict).drop(
+        "__sufs", *[f"__bd{j}" for j in range(1, max_entry_labels + 1)]
     )
     if mode == "clean":
-        return df.join(hits, df[id_col] == hits["__id"], "left_anti")
+        return out.filter(F.col("blocked_domain").isNull()).drop(
+            "blocked_domain"
+        )
     if mode == "flag":
-        return df.join(hits, df[id_col] == hits["__id"], "left").drop("__id")
+        return out
     raise ValueError(f"mode must be clean|flag, got {mode!r}")
