@@ -632,21 +632,23 @@ def _round_number() -> int:
 
 
 def _record_round(result: dict) -> list[str]:
-    """Persist the FULL result to BENCH/QUERIES_r{N}.json, append a
-    per-round record to BENCH/HISTORY.jsonl, and return fail-soft
-    regression flags: any query >1.5x its time in the latest previous
-    round (ignoring sub-0.5 s timings, which are scheduling noise)."""
+    """Persist the FULL result (plus a vs-previous-round ratio table) to
+    BENCH/QUERIES_r{N}.json, append a per-round record to
+    BENCH/HISTORY.jsonl, and return fail-soft regression flags.
+
+    Baseline discipline (round-5 fix): a round can appear in HISTORY more
+    than once (builder run of record + the driver's re-run), so the
+    baseline is keyed on ROUND, not recency — per query the MIN across the
+    most recent PRIOR round's lines (min = the least-contention shot, same
+    rule as the per-level scaling reps), falling back to older rounds for
+    queries that round didn't record. A query flags when it is >1.5x its
+    baseline AND at least 0.1 s absolutely slower (the old 0.5 s floor
+    silently swallowed real 1.5x drifts on sub-second queries)."""
     os.makedirs("BENCH", exist_ok=True)
     rnd = _round_number()
-    with open(os.path.join("BENCH", f"QUERIES_r{rnd:02d}.json"), "w") as f:
-        json.dump(result, f, indent=1, sort_keys=True)
 
-    # baseline per query = its timing in the MOST RECENT prior round that
-    # recorded it (round 3's record is partial — recovered from a truncated
-    # stdout tail — so e.g. knn falls back to its round-2 value)
     hist_path = os.path.join("BENCH", "HISTORY.jsonl")
-    prev_q: dict = {}
-    prev_round: dict = {}
+    by_round: dict = {}
     if os.path.exists(hist_path):
         for line in open(hist_path):
             try:
@@ -657,15 +659,29 @@ def _record_round(result: dict) -> list[str]:
             if r >= rnd:
                 continue
             for name, t in rec.get("queries", {}).items():
-                if name not in prev_round or r > prev_round[name]:
-                    prev_q[name], prev_round[name] = t, r
+                cur = by_round.setdefault(r, {}).get(name)
+                if cur is None or t < cur:
+                    by_round[r][name] = t
+    prev_q: dict = {}
+    prev_round: dict = {}
+    for r in sorted(by_round):  # ascending: later rounds overwrite earlier
+        for name, t in by_round[r].items():
+            prev_q[name], prev_round[name] = t, r
     regressions = []
-    for name, t in result["queries"].items():
+    vs_prev = {}
+    for name, t in sorted(result["queries"].items()):
         old = prev_q.get(name)
-        if old and t > 1.5 * old and t > 0.5:
+        if not old:
+            continue
+        vs_prev[name] = {"prev_sec": old, "prev_round": prev_round[name],
+                         "sec": t, "ratio": round(t / old, 3)}
+        if t > 1.5 * old and t - old > 0.1:
             regressions.append(f"{name}: {old}s(r{prev_round[name]})->{t}s")
             print(f"BENCH_REGRESSION {name}: {old}s (r{prev_round[name]}) "
                   f"-> {t}s", file=sys.stderr)
+    result["vs_prev_round"] = vs_prev
+    with open(os.path.join("BENCH", f"QUERIES_r{rnd:02d}.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
     sc = result["scaling"]
     with open(hist_path, "a") as f:
         f.write(json.dumps({

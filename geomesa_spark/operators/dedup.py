@@ -504,3 +504,73 @@ def synth_dedup_corpus(spark, n_groups: int, mutate: int = 0) -> DataFrame:
         F.transform(F.sequence(F.lit(0), F.lit(59)), lambda j: tok(j)), " "
     )
     return df.select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 20,
+    span_split: str = r"\n{2,}",
+) -> DataFrame:
+    """Span-level exact dedup: removal list of duplicated spans (paragraphs
+    by default), keeping each span's first occurrence in (id, span_idx)
+    order.
+
+    This is the distributed re-expression of substring-level exact dedup
+    (suffix-array dedup a la "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022) at the granularity a Spark pipeline
+    can shuffle: documents are split into spans, each span is keyed by a
+    64-bit hash, and only ``(hash, id, idx, md5)`` ever leaves the map side
+    — span text itself never shuffles. Complements doc-level
+    :func:`exact_dedup`/:func:`minhash_lsh_pairs` (whole-doc dups) and
+    line-level boilerplate removal (per-group frequent lines): this one
+    finds verbatim cross-document spans corpus-wide.
+
+    Scale shape (10^12 docs): two hash-partitioned exchanges on the span
+    hash — one combiner-friendly ``min/count`` aggregate to elect each
+    span's keeper, one equi-join back to tag occurrences. Deliberately NOT
+    a single window (``row_number() over (partition by hash)``): a viral
+    chrome span duplicated across billions of pages would pin that window
+    to one task, while the agg is map-side combined and the join is
+    AQE-skew-splittable. The removal fanout per span equals its duplicate
+    count — inherent output, not amplification.
+
+    Returns (id, span_idx int, span_md5, n_occurrences) — one row per
+    REMOVED occurrence; rebuild the cleaned doc by dropping those span
+    indexes. xxhash64 keying tolerates a ~2^-64 per-pair collision rate
+    (two distinct spans merging); the md5 column rides along so downstream
+    audits can detect one.
+    """
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), span_split)
+            ).alias("span_idx", "__span"),
+        )
+        .withColumn("__norm", F.trim(F.col("__span")))
+        .filter(F.length("__norm") >= min_len)
+        .select(
+            F.col(id_col),
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.xxhash64(F.col("__norm")).alias("__h"),
+            F.md5(F.col("__norm")).alias("span_md5"),
+        )
+    )
+    keepers = (
+        spans.groupBy("__h")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("__keep"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    return (
+        spans.join(keepers, "__h")
+        .filter(
+            (F.col(id_col) != F.col(f"__keep.{id_col}"))
+            | (F.col("span_idx") != F.col("__keep.span_idx"))
+        )
+        .select(id_col, "span_idx", "span_md5", "n_occurrences")
+    )
