@@ -72,8 +72,17 @@ def density_geometries(
     bbox lies entirely OUTSIDE the density bbox contribute nothing (the
     same clip semantics as :func:`density`'s point filter — without it
     the edge rows/columns would accumulate spurious snapped mass from
-    every off-grid geometry). Rasterization is an Arrow-batched numpy
-    kernel; the aggregation is a plain hash agg.
+    every off-grid geometry).
+
+    Execution shape: simple ``POINT (x y)`` rows — the overwhelming
+    majority of a geoparsed web corpus — take a pure whole-stage-codegen
+    path (regexp coordinate extract + the same snap/clip arithmetic as
+    :func:`density`; a single point contributes its full weight to one
+    cell, which is exactly the kernel's ``wt * 1.0 / 1.0``), so Python
+    never sees them. Only non-point geometries (and any WKT the strict
+    point pattern doesn't match, e.g. ``POINT EMPTY`` or multipoints)
+    reach the Arrow-batched numpy rasterizer. Both branches emit partial
+    (i, j, w) rows into ONE union + hash agg — still a single shuffle.
     """
     from geomesa_spark.geom.kernels import points_in_polygon
     from geomesa_spark.geom.wkt import parse_wkt
@@ -148,11 +157,38 @@ def density_geometries(
         if weight_col
         else F.lit(1.0)
     )
-    cellized = df.select(rasterize(F.col(wkt_col), w).alias("cells"))
+    # strict single-point pattern: anything else (MULTIPOINT, POINT EMPTY,
+    # lines, polygons, malformed WKT) falls through to the python kernel,
+    # which preserves the exact legacy semantics for every geometry kind
+    num = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+    pt_re = rf"^\s*POINT\s*\(\s*({num})\s+({num})\s*\)\s*$"
+    is_pt = F.col(wkt_col).rlike(pt_re)
+
+    plon = F.regexp_extract(F.col(wkt_col), pt_re, 1).cast("double")
+    plat = F.regexp_extract(F.col(wkt_col), pt_re, 2).cast("double")
+    pi = F.least(
+        F.lit(width - 1),
+        F.greatest(F.lit(0), ((plon - lon_min) / dx).cast("int")),
+    )
+    pj = F.least(
+        F.lit(height - 1),
+        F.greatest(F.lit(0), ((plat - lat_min) / dy).cast("int")),
+    )
+    point_cells = (
+        df.filter(is_pt)
+        .filter(plon.between(lon_min, lon_max) & plat.between(lat_min, lat_max))
+        .select(pi.alias("i"), pj.alias("j"), w.alias("w"))
+    )
+    other_cells = (
+        df.filter(~is_pt)
+        .select(rasterize(F.col(wkt_col), w).alias("cells"))
+        .select(F.explode("cells").alias("c"))
+        .select(F.col("c.i").alias("i"), F.col("c.j").alias("j"), F.col("c.w").alias("w"))
+    )
     return (
-        cellized.select(F.explode("cells").alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.w").alias("weight"))
+        point_cells.unionByName(other_cells)
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("weight"))
     )
 
 
