@@ -190,6 +190,7 @@ def remove_boilerplate(
     id_col: str,
     min_docs: int = 3,
     max_ratio: float = 0.5,
+    broadcast_boiler: bool = True,
 ) -> DataFrame:
     """Remove lines appearing in ``>= max(min_docs, max_ratio * group
     size)`` distinct documents of the same group (domain/site).
@@ -198,6 +199,20 @@ def remove_boilerplate(
     documents keep an empty string. Line identity is exact (the reference
     cleanup granularity); ordering inside a document is preserved via the
     exploded position.
+
+    Shuffle shape (the 100-TB contract): exactly TWO corpus-sized
+    exchanges — the ``(group, line)`` distinct-doc count and the final
+    per-document regroup. The frequent-line ("boiler") set joins back to
+    the exploded lines as a BROADCAST by default (``broadcast_boiler``):
+    boiler is bounded by the frequent-line *vocabulary* (lines in >=
+    ``min_docs`` docs of one group), orders of magnitude smaller than the
+    corpus. Callers with a pathological vocabulary that exceeds driver
+    broadcast limits can pass ``broadcast_boiler=False``, which lets the
+    optimizer fall back to a SortMergeJoin — that fallback re-keys every
+    exploded line by ``(group, line)``, i.e. a THIRD corpus-sized shuffle,
+    and is the documented cost of unbounded vocabularies.
+    ``scripts/dump_plans.py`` pins the default plan: any SortMergeJoin in
+    the ``boilerplate`` audit entry fails the plan gate.
     """
     did, grp = F.col(id_col), F.col(group_col)
     lines = df.select(
@@ -219,6 +234,8 @@ def remove_boilerplate(
         .select("__grp", "__line")
         .withColumn("__boiler", F.lit(True))
     )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
     tagged = lines.join(boiler, ["__grp", "__line"], "left")
     kept = F.expr(
         "sort_array(collect_list(CASE WHEN __boiler IS NULL "

@@ -98,3 +98,65 @@ def test_cli_version_and_missing_table(catalog, capsys):
     assert "geomesa_spark" in capsys.readouterr().out
     with pytest.raises(SystemExit, match="no such feature table"):
         main(["describe", "--catalog", catalog, "--name", "nope"])
+
+
+def test_cli_shp_pipeline_roundtrip(catalog, tmp_path, capsys):
+    """The reference's tools-level integration (TLS/FeatureExporter.scala:62-96
+    driven through the command surface): create -> ingest csv -> CQL query ->
+    export shp -> RE-ingest the shapefile into a second table -> export csv ->
+    compare against a direct csv export of the same query. cli.py only; no
+    engine APIs touched directly."""
+    assert main(["create", "--catalog", catalog, "--name", "src",
+                 "--lon", "lon", "--lat", "lat", "--dtg", "dtg",
+                 "--fid", "fid"]) == 0
+    assert main([
+        "ingest", "--catalog", catalog, "--name", "src",
+        "--file", _csv(tmp_path), "--format", "csv",
+        "--fields", "fid,lon,lat,dtg,kind",
+        "--cast", "lon:double", "--cast", "lat:double",
+        "--cast", "dtg:timestamp",
+    ]) == 0
+
+    cql = "BBOX(geom, -50, -40, 50, 40)"
+    shp = str(tmp_path / "box.shp")
+    assert main(["export", "--catalog", catalog, "--name", "src",
+                 "--cql", cql, "--format", "shp", "--out", shp,
+                 "--properties", "fid,lon,lat,kind"]) == 0
+    import os
+
+    assert all(os.path.exists(shp[:-4] + ext) for ext in (".shp", ".shx", ".dbf"))
+
+    # reference truth: the same query exported as csv
+    ref_csv = str(tmp_path / "ref_csv")
+    assert main(["export", "--catalog", catalog, "--name", "src",
+                 "--cql", cql, "--format", "csv", "--out", ref_csv,
+                 "--properties", "fid,lon,lat,kind"]) == 0
+
+    # re-ingest the shapefile (dbf attribute names are uppercased <=10-char
+    # per the dBASE spec; values come back as strings -> cast coordinates)
+    assert main(["create", "--catalog", catalog, "--name", "copy",
+                 "--lon", "LON", "--lat", "LAT", "--fid", "FID"]) == 0
+    assert main(["ingest", "--catalog", catalog, "--name", "copy",
+                 "--file", shp, "--format", "shp",
+                 "--cast", "LON:double", "--cast", "LAT:double"]) == 0
+
+    copy_csv = str(tmp_path / "copy_csv")
+    assert main(["export", "--catalog", catalog, "--name", "copy",
+                 "--format", "csv", "--out", copy_csv,
+                 "--properties", "FID,LON,LAT,KIND"]) == 0
+    capsys.readouterr()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+    def rows(path, fid, lon, lat, kind):
+        df = spark.read.option("header", True).csv(path)
+        return {
+            (r[fid], float(r[lon]), float(r[lat]), r[kind])
+            for r in df.collect()
+        }
+
+    ref = rows(ref_csv, "fid", "lon", "lat", "kind")
+    got = rows(copy_csv, "FID", "LON", "LAT", "KIND")
+    assert ref and got == ref  # exact: str(float) is shortest-roundtrip

@@ -9,7 +9,7 @@ approximate operators.
 from __future__ import annotations
 
 import itertools
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import numpy as np
 import pytest
@@ -269,6 +269,78 @@ def test_live_view_streaming_upsert(spark, tmp_path):
     state = {r["id"]: r for r in live_snapshot(spark, "live_state").collect()}
     assert set(state) == {"c"}  # after the global clear, only c is alive
     assert state["c"]["lon"] == 5.0
+
+
+def test_live_view_ttl_evicts_state_across_batches(spark, tmp_path):
+    """TTL actually BOUNDS the state store (the expire-after-write cache of
+    KFK/LiveKafkaConsumerFeatureSource.scala:136-191): drive multiple
+    micro-batches on a processing-time trigger, let 9 of 10 keys pass their
+    TTL while one is kept alive by an update, and assert via the state
+    operator metrics that the store shrinks to the live-key count — plus
+    tombstones make the evicted keys invisible to the snapshot."""
+    import time as _time
+
+    from geomesa_spark.streaming.live import live_snapshot, live_view
+
+    src = tmp_path / "ttl_msgs"
+    src.mkdir()
+    schema = "offset long, kind string, id string, lon double, lat double, ts timestamp"
+    base_ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    batch1 = spark.createDataFrame(
+        [(i, "create", f"k{i}", float(i), float(i), base_ts) for i in range(10)],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "8"
+    ).parquet(str(src) + "/*")
+    q = (
+        live_view(stream, ttl_seconds=8.0)
+        .writeStream.format("memory")
+        .queryName("ttl_state")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def state_rows():
+            p = q.lastProgress
+            if not p or not p.get("stateOperators"):
+                return None
+            return p["stateOperators"][0]["numRowsTotal"]
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline and state_rows() != 10:
+            _time.sleep(0.3)
+        assert state_rows() == 10, f"initial state never reached 10: {state_rows()}"
+
+        # keep k0 alive: an update inside the TTL window resets its timer
+        spark.createDataFrame(
+            [(100, "create", "k0", 9.5, 9.5, base_ts + timedelta(minutes=1))],
+            schema,
+        ).coalesce(1).write.parquet(str(src / "b2"))
+
+        # k1..k9 expire after ~8s of processing time; no-data micro-batches
+        # keep firing on the 500ms trigger, so eviction needs no new input
+        deadline = _time.time() + 90
+        while _time.time() < deadline and state_rows() != 1:
+            _time.sleep(0.5)
+        assert state_rows() == 1, (
+            f"state not bounded after TTL: {state_rows()} rows still stored"
+        )
+
+        alive = {r["id"]: r for r in live_snapshot(spark, "ttl_state").collect()}
+        assert set(alive) == {"k0"} and alive["k0"]["lon"] == 9.5
+        # eviction emitted explicit tombstones (alive=False, null coords)
+        dead = {
+            r["id"]
+            for r in spark.table("ttl_state")
+            .filter(~F.col("alive") & F.col("lon").isNull())
+            .collect()
+        }
+        assert dead >= {f"k{i}" for i in range(1, 10)}
+    finally:
+        q.stop()
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,26 @@ def test_remove_boilerplate_all_lines_removed(spark):
     assert all(r["text"] == "" and r["n_lines_kept"] == 0 for r in out)
 
 
+def test_remove_boilerplate_plan_is_broadcast(spark):
+    # Plan pin (scripts/dump_plans.py FORBID twin): with the default
+    # broadcast_boiler=True the frequent-line tag join must be a
+    # BroadcastHashJoin — an SMJ there re-keys every exploded line by
+    # (group, line), a third corpus-sized shuffle. Opting out must
+    # actually release the hint so huge vocabularies CAN fall back.
+    rows = [(i, "g", f"HEAD\nbody {i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    plan = remove_boilerplate(
+        df, "text", "domain", "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # group sizes + tag join
+    plan_free = remove_boilerplate(
+        df, "text", "domain", "doc_id", broadcast_boiler=False
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # the only remaining broadcast HINT is the group-size join
+    assert plan_free.count("ResolvedHint") <= 1
+
+
 def test_decontaminate_13gram_rule(spark):
     from geomesa_spark.operators.textclean import decontaminate
 
