@@ -121,22 +121,19 @@ def repetition_signals(
       mass (count x bigram length) over the whole text length.
 
     All ratios are exact integer counts divided once in float64, so a SQL
-    oracle reproduces them bit-for-bit. Two doc-id-keyed hash shuffles
-    (lines, bigrams) — the standard per-doc aggregation shape, no python.
-    """
-    did = F.col(id_col)
-    norm = F.regexp_replace(F.col(text_col), "\n", " ")
+    oracle reproduces them bit-for-bit.
 
-    lines = df.select(
-        did.alias("__id"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("__ln"),
-    )
-    per_line = lines.groupBy("__id", "__ln").agg(F.count("*").alias("__c"))
-    c, ln_len = F.col("__c"), F.length("__ln")
-    dup_c = F.sum(F.when(c > 1, c).otherwise(F.lit(0)))
-    dup_chars = F.sum(F.when(c > 1, c * ln_len).otherwise(F.lit(0)))
-    tot_c = F.sum(c)
-    tot_chars = F.sum(c * ln_len)
+    Scale shape: ZERO exchanges. Every signal is within-document, so it
+    folds over ``array_sort``-ed line/bigram arrays with higher-order
+    functions (run-length counting of equal adjacent elements) entirely
+    inside whole-stage codegen — a pure map job. The previous shape
+    (explode lines+bigrams, two doc-id-keyed hash aggregates) shuffled
+    roughly one row per corpus TOKEN; at 10^12 documents that is the
+    difference between a scan and a corpus-sized shuffle. Per-doc work is
+    O(n log n) in the line/bigram count (the sort), same order as the
+    hash aggregate it replaces. Docs with NULL text produce no output row
+    (the contract the explode-based shape established).
+    """
 
     def frac(num, den):
         den = den.cast("double")
@@ -144,42 +141,96 @@ def repetition_signals(
             num.cast("double") / den
         )
 
-    line_sig = per_line.groupBy("__id").agg(
-        tot_c.cast("int").alias("n_lines"),
-        frac(dup_c, tot_c).alias("dup_line_frac"),
-        frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
+    def run_fold(sorted_arr, finish):
+        """Fold equal-adjacent runs of a sorted string array: accumulator
+        carries (prev, run, dup_c, dup_chars, best_mass); each run flushes
+        its (count, count*len) tallies when the element changes."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dup_c"),
+            F.lit(0).cast("long").alias("dup_chars"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def flush(acc):
+            run, prev = acc["run"], acc["prev"]
+            mass = run * F.length(prev).cast("long")
+            is_dup = run > F.lit(1)
+            return (
+                acc["dup_c"] + F.when(is_dup, run).otherwise(F.lit(0)),
+                acc["dup_chars"] + F.when(is_dup, mass).otherwise(F.lit(0)),
+                F.greatest(acc["best"], mass),
+            )
+
+        def step(acc, x):
+            same = acc["prev"].isNotNull() & (x == acc["prev"])
+            dup_c, dup_chars, best = flush(acc)
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.when(same, acc["dup_c"]).otherwise(dup_c).alias("dup_c"),
+                F.when(same, acc["dup_chars"]).otherwise(dup_chars).alias("dup_chars"),
+                F.when(same, acc["best"]).otherwise(best).alias("best"),
+            )
+
+        def fin(acc):
+            dup_c, dup_chars, best = flush(
+                # empty array: no element was ever folded -> nothing to flush
+                F.struct(
+                    F.coalesce(acc["prev"], F.lit("")).alias("prev"),
+                    acc["run"].alias("run"), acc["dup_c"].alias("dup_c"),
+                    acc["dup_chars"].alias("dup_chars"), acc["best"].alias("best"),
+                )
+            )
+            return finish(dup_c, dup_chars, best)
+
+        return F.aggregate(sorted_arr, init, step, fin)
+
+    text = F.col(text_col)
+    lines_arr = F.split(text, "\n")
+    n_lines = F.size(lines_arr).cast("long")
+    tot_chars = F.aggregate(
+        lines_arr, F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x).cast("long"),
+    )
+    line_sig = run_fold(
+        F.array_sort(lines_arr),
+        lambda dup_c, dup_chars, _best: F.struct(
+            dup_c.alias("dup_c"), dup_chars.alias("dup_chars")
+        ),
     )
 
+    norm = F.regexp_replace(text, "\n", " ")
     toks = F.split(norm, " ")
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
     ).otherwise(F.array().cast("array<int>"))
-    bigrams = df.select(
-        did.alias("__id"),
-        F.length(norm).alias("__tlen"),
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-        ).alias("__bg"),
+    bigrams_arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
     )
-    per_bg = bigrams.groupBy("__id", "__bg").agg(
-        F.count("*").alias("__c"), F.first("__tlen").alias("__tlen")
+    bg_best = run_fold(
+        F.array_sort(bigrams_arr), lambda _c, _ch, best: best
     )
-    bg_sig = per_bg.groupBy("__id").agg(
-        frac(F.max(F.col("__c") * F.length("__bg")), F.first("__tlen")).alias(
-            "top_bigram_mass_frac"
-        )
+
+    base = df.filter(text.isNotNull()).select(
+        F.col(id_col),
+        n_lines.alias("__nl"),
+        tot_chars.alias("__tc"),
+        line_sig.alias("__ls"),
+        bg_best.alias("__bb"),
+        F.length(norm).cast("long").alias("__tlen"),
     )
-    return (
-        line_sig.join(bg_sig, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            "n_lines",
-            "dup_line_frac",
-            "dup_line_char_frac",
-            F.coalesce("top_bigram_mass_frac", F.lit(0.0)).alias(
-                "top_bigram_mass_frac"
-            ),
-        )
+    return base.select(
+        F.col(id_col),
+        F.col("__nl").cast("int").alias("n_lines"),
+        frac(F.col("__ls").getField("dup_c"), F.col("__nl")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.col("__ls").getField("dup_chars"), F.col("__tc")).alias(
+            "dup_line_char_frac"
+        ),
+        frac(F.col("__bb"), F.col("__tlen")).alias("top_bigram_mass_frac"),
     )
 
 

@@ -70,6 +70,41 @@ def test_exact_dedup_keeps_min_id(spark, docs):
         assert 3 * b in kept_ids and 3 * b + 1 not in kept_ids
 
 
+def test_span_dedup_removal_list(spark):
+    from geomesa_spark.operators.dedup import span_dedup
+
+    para = "x" * 25  # >= min_len
+    uniq = lambda i: f"unique paragraph number {i} padded out to len"
+    rows = [
+        (5, f"{para}\n\n{uniq(5)}"),          # dup span, NOT the keeper
+        (1, f"{uniq(1)}\n\n{para}"),          # keeper: min (id, span_idx)
+        (7, f"{para}\n\n{para}"),             # within-doc repeat: both removed
+        (9, "short\n\ntiny"),                 # all spans under min_len: ignored
+        (3, None),                            # null text: no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_dedup(df, "text", "doc_id", min_len=20).collect()
+    removed = {(r["doc_id"], r["span_idx"]) for r in out}
+    # keeper is (1, 1): first occurrence in (id, idx) order survives
+    assert removed == {(5, 0), (7, 0), (7, 1)}
+    assert all(r["n_occurrences"] == 4 for r in out)
+    # md5 audit column rides along
+    import hashlib
+
+    want = hashlib.md5(para.encode()).hexdigest()
+    assert all(r["span_md5"] == want for r in out)
+
+
+def test_span_dedup_no_dups_is_empty(spark):
+    from geomesa_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"totally distinct paragraph contents {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert span_dedup(df, "text", "doc_id", min_len=10).count() == 0
+
+
 def test_minhash_lsh_finds_planted_near_dups(spark, docs):
     from geomesa_spark.operators.dedup import minhash_lsh_pairs
 
