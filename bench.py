@@ -724,6 +724,15 @@ def _compact(result: dict, regressions: list[str]) -> dict:
         "membw_gbps": (result.get("membw") or {}).get("gbps"),
         "regressions": regressions[:8],
     }
+    # Degraded-host witness (see BENCH/BASELINE.md round-4/5 notes): on a
+    # healthy box the 32-thread copy bandwidth EXCEEDS the 8-thread figure
+    # (109.2 vs 91.8 in the r4 run of record); windows where the hypervisor
+    # withholds cores invert that. Flag it in the one-line artifact so a
+    # degraded run is self-identifying without opening the full JSON.
+    gbps = out["membw_gbps"] or {}
+    lo_bw, hi_bw = gbps.get(str(LO)), gbps.get(str(HI))
+    if lo_bw and hi_bw:
+        out["host_degraded"] = bool(hi_bw < lo_bw)
     return out
 
 
