@@ -1366,18 +1366,12 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=13)
 
 
-def _q_repetition(spark, sf_dir):
-    """Gopher-style repetition quality signals over a constructed
-    multi-line corpus: document text re-lined 10 tokens/line, plus the
-    first line re-appended doc_id%3 times (planted duplicate-line mass).
-    All four signals are exact-count ratios, so the DuckDB twin — a full
-    independent unnest/GROUP BY implementation — hash-matches bit-for-bit."""
-    from geomesa_spark.operators.textclean import repetition_signals
-
-    # spread: the signals fold per-row with ZERO downstream exchanges now,
-    # so an under-split input would serialize the whole kernel on one task
-    # (the old explode+groupBy shape parallelized after its shuffle)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+def _repetition_corpus(docs):
+    """Constructed multi-line corpus shared by `repetition` and
+    `quality_filter`: document text re-lined 10 tokens/line, plus the
+    first line re-appended doc_id%3 times (planted duplicate-line mass,
+    so line-repetition signals and thresholds are exercised
+    non-degenerately — raw fixture docs are single-line)."""
     did = F.col("doc_id").cast("long")
     toks = F.split(F.col("text"), " ")
     nlines = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
@@ -1389,14 +1383,42 @@ def _q_repetition(spark, sf_dir):
         ),
     )
     first_line = F.concat_ws(" ", F.slice(toks, 1, 10))
-    built = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             body,
             F.repeat(F.concat(F.lit("\n"), first_line), (did % 3).cast("int")),
         ).alias("text"),
     )
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals over the constructed
+    multi-line corpus (see _repetition_corpus). All four signals are
+    exact-count ratios, so the DuckDB twin — a full independent
+    unnest/GROUP BY implementation — hash-matches bit-for-bit."""
+    from geomesa_spark.operators.textclean import repetition_signals
+
+    # spread: the signals fold per-row with ZERO downstream exchanges now,
+    # so an under-split input would serialize the whole kernel on one task
+    # (the old explode+groupBy shape parallelized after its shuffle)
+    built = _repetition_corpus(_docs(spark, sf_dir).select("doc_id", "text"))
     return repetition_signals(built)
+
+
+def _q_quality_filter(spark, sf_dir):
+    """Composite Gopher/C4-style keep/drop verdict (operators/quality.py)
+    over the same constructed corpus as `repetition`, so the repetition
+    thresholds see planted duplicate-line mass. Default thresholds split
+    the fixture corpus non-degenerately on length (min 30 tokens ~ p25),
+    stopword floor (0.01 ~ p25), dup-line cap (0.30 separates the
+    doc_id%3 planting classes), and language (en = ~half the lang votes).
+    Every emitted column is a boolean over values the component oracles
+    already prove bit-reproducible, so the verdict hash-matches exactly."""
+    from geomesa_spark.operators.quality import quality_filter
+
+    built = _repetition_corpus(_docs(spark, sf_dir).select("doc_id", "text"))
+    return quality_filter(built, "text", "doc_id")
 
 
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
@@ -1439,10 +1461,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver oracle-checks only the FIRST 50 entries.
     # Round 5 rotation — slots 1-30 hold the 30 entries whose only green
     # CORRECTNESS rows are from rounds 1-3 (rotated past 50 in round 4),
-    # slots 31-32 the round-5 additions (mosaic's new pixel oracle,
-    # span_dedup), and slots 33-50 the most load-bearing queries (headline
-    # joins/knn/index scans/dedup — green in r4, kept under continuous
-    # check). Entries past 50 all carry green rows from CORRECTNESS_r03/r04.
+    # slots 31-36 the round-5 additions/changes (mosaic's new pixel oracle,
+    # span_dedup, the repetition/density_wkt/boilerplate reworks, and the
+    # composite quality_filter verdict), and slots 37-50 the most
+    # load-bearing queries (headline joins/knn/index scans/dedup — green in
+    # r4, kept under continuous check; dedup_components moves to slot 51
+    # with its r4 green row standing). Entries past 50 all carry green rows
+    # from CORRECTNESS_r03/r04.
     return {
         # -- green in r1-r3 only; rotated back into the checked window ------
         "proximity": _q_proximity,
@@ -1482,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "density_wkt": _q_density_wkt,
         "boilerplate": _q_boilerplate,
+        "quality_filter": _q_quality_filter,
         # -- load-bearing, green in r4 (kept inside the checked window) -----
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
@@ -1600,6 +1626,151 @@ def _lang_id_oracle() -> str:
                CASE WHEN n = 0 OR best <= 0 THEN 'und' {case} ELSE 'und' END
                  AS lang_pred
         FROM m
+    """
+
+
+def _quality_filter_oracle() -> str:
+    """DuckDB twin of the composite quality verdict: rebuilds the
+    repetition-corpus text, then every component signal with the same
+    arithmetic its standalone oracle uses (quality ratios rounded to 6
+    decimals, repetition fractions as exact-count divisions, the
+    stopword-vote language CASE), and applies the identical thresholds.
+    All comparisons are on bit-identical doubles, so the booleans agree
+    even at exact-threshold ties."""
+    from geomesa_spark.operators.textstats import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    cnt_cols = ", ".join(
+        "len(list_filter(lg_toks, x -> x IN ({}))) AS c_{}".format(
+            ", ".join("'" + w.replace("'", "''") + "'" for w in _LANG_MARKERS[lang]),
+            lang,
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"c_{lang}" for lang in langs))
+    case = " ".join(f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs)
+    stop_list = "'the','and','of','to','in','is','that','for'"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            WHERE text IS NOT NULL
+        ),
+        built AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           generate_series(0,
+                               CAST(ceil(len(tk) / 10.0) AS INT) - 1),
+                           i -> array_to_string(
+                               list_slice(tk, i * 10 + 1, i * 10 + 10),
+                               ' ')
+                       ), chr(10))
+                   || repeat(
+                       chr(10) || array_to_string(
+                           list_slice(tk, 1, 10), ' '),
+                       CAST(doc_id % 3 AS INT)) AS txt
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id,
+                   length(txt) AS n_chars,
+                   CASE WHEN length(trim(txt)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(txt), '\\s+')) END
+                     AS n_tokens,
+                   length(txt) - length(regexp_replace(txt, '[^\\w\\s]', '', 'g'))
+                     AS n_punct,
+                   len(list_filter(string_split_regex(lower(txt), '\\s+'),
+                                   x -> x IN ({stop_list}))) AS n_stop
+            FROM built
+        ),
+        qr AS (
+            SELECT doc_id, n_tokens,
+                   round(CAST(greatest(1, n_chars) AS DOUBLE)
+                         / CAST(greatest(1, n_tokens) AS DOUBLE), 6) AS mtl,
+                   round(CAST(n_punct AS DOUBLE)
+                         / CAST(greatest(1, n_chars) AS DOUBLE), 6) AS pr,
+                   round(CAST(n_stop AS DOUBLE)
+                         / CAST(greatest(1, n_tokens) AS DOUBLE), 6) AS sr
+            FROM q
+        ),
+        lines AS (
+            SELECT doc_id, u.l
+            FROM built, UNNEST(string_split(txt, chr(10))) AS u(l)
+        ),
+        per_line AS (
+            SELECT doc_id, l, count(*) AS c FROM lines GROUP BY 1, 2
+        ),
+        line_sig AS (
+            SELECT doc_id,
+                   CASE WHEN sum(c) = 0 THEN 0.0 ELSE
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                            AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                   END AS dlf,
+                   CASE WHEN sum(c * len(l)) = 0 THEN 0.0 ELSE
+                       CAST(sum(CASE WHEN c > 1 THEN c * len(l)
+                                ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(c * len(l)) AS DOUBLE)
+                   END AS dlcf
+            FROM per_line GROUP BY doc_id
+        ),
+        bt AS (
+            SELECT doc_id,
+                   string_split(replace(txt, chr(10), ' '), ' ') AS tk2,
+                   len(replace(txt, chr(10), ' ')) AS tlen
+            FROM built
+        ),
+        bgs AS (
+            SELECT doc_id, tlen,
+                   array_to_string(list_slice(tk2, i, i + 1), ' ') AS bg
+            FROM bt, UNNEST(generate_series(1, len(tk2) - 1)) AS u(i)
+        ),
+        per_bg AS (
+            SELECT doc_id, bg, count(*) AS c, first(tlen) AS tlen
+            FROM bgs GROUP BY 1, 2
+        ),
+        bg_sig AS (
+            SELECT doc_id,
+                   CASE WHEN first(tlen) = 0 THEN 0.0 ELSE
+                       CAST(max(c * len(bg)) AS DOUBLE)
+                       / CAST(first(tlen) AS DOUBLE)
+                   END AS tbmf
+            FROM per_bg GROUP BY doc_id
+        ),
+        lg0 AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(txt)), '\\s+') AS lg_toks,
+                   length(trim(txt)) AS lg_n
+            FROM built
+        ),
+        lg1 AS (SELECT doc_id, lg_n, {cnt_cols} FROM lg0),
+        lg2 AS (SELECT *, {best} AS best FROM lg1),
+        lg AS (
+            SELECT doc_id,
+                   CASE WHEN lg_n = 0 OR best <= 0 THEN 'und' {case}
+                        ELSE 'und' END AS lang_pred
+            FROM lg2
+        )
+        SELECT qr.doc_id,
+               CAST(qr.n_tokens AS INTEGER) AS n_tokens,
+               lg.lang_pred,
+               qr.n_tokens BETWEEN 30 AND 100000 AS pass_length,
+               qr.mtl BETWEEN 3.0 AND 10.0 AS pass_token_shape,
+               qr.pr <= 0.25 AS pass_punct,
+               qr.sr >= 0.01 AS pass_stopwords,
+               (ls.dlf <= 0.30 AND ls.dlcf <= 0.30
+                AND COALESCE(bs.tbmf, 0.0) <= 0.18) AS pass_repetition,
+               lg.lang_pred IN ('en') AS pass_lang,
+               (qr.n_tokens BETWEEN 30 AND 100000
+                AND qr.mtl BETWEEN 3.0 AND 10.0
+                AND qr.pr <= 0.25
+                AND qr.sr >= 0.01
+                AND ls.dlf <= 0.30 AND ls.dlcf <= 0.30
+                AND COALESCE(bs.tbmf, 0.0) <= 0.18
+                AND lg.lang_pred IN ('en')) AS keep
+        FROM qr
+        JOIN line_sig ls ON qr.doc_id = ls.doc_id
+        JOIN lg ON qr.doc_id = lg.doc_id
+        LEFT JOIN bg_sig bs ON qr.doc_id = bs.doc_id
     """
 
 
@@ -2557,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_lsh_oracle(),  # same analytic expectation
         "embed_dedup": _embed_dedup_oracle(),
         "lang_id": _lang_id_oracle(),
+        "quality_filter": _quality_filter_oracle(),
         "fingerprint": _fingerprint_oracle(),
         "media_features": _media_features_oracle(),
         "frame_sample": _frame_sample_oracle(),

@@ -437,8 +437,8 @@ def _time_queries(spark) -> dict[str, float]:
         "bounds", "count_by_day", "density_wkt", "geoparse_docs",
         "or_union", "record_lookup", "spatial_join_boxes", "sql_functions",
         "redact_pii", "boilerplate", "decontaminate", "repetition", "blocklist",
-        # appended r5 (new operator this round; same slot-stability rule)
-        "span_dedup",
+        # appended r5 (new operators this round; same slot-stability rule)
+        "span_dedup", "quality_filter",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

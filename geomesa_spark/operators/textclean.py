@@ -105,6 +105,111 @@ def decontaminate(
     )
 
 
+def _safe_frac(num: Column, den: Column) -> Column:
+    den = den.cast("double")
+    return F.when(den == 0, F.lit(0.0)).otherwise(num.cast("double") / den)
+
+
+def _run_length_fold(sorted_arr: Column, finish) -> Column:
+    """Fold equal-adjacent runs of a sorted string array: accumulator
+    carries (prev, run, dup_c, dup_chars, best_mass); each run flushes
+    its (count, count*len) tallies when the element changes."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup_c"),
+        F.lit(0).cast("long").alias("dup_chars"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def flush(acc):
+        run, prev = acc["run"], acc["prev"]
+        mass = run * F.length(prev).cast("long")
+        is_dup = run > F.lit(1)
+        return (
+            acc["dup_c"] + F.when(is_dup, run).otherwise(F.lit(0)),
+            acc["dup_chars"] + F.when(is_dup, mass).otherwise(F.lit(0)),
+            F.greatest(acc["best"], mass),
+        )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        dup_c, dup_chars, best = flush(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["dup_c"]).otherwise(dup_c).alias("dup_c"),
+            F.when(same, acc["dup_chars"]).otherwise(dup_chars).alias("dup_chars"),
+            F.when(same, acc["best"]).otherwise(best).alias("best"),
+        )
+
+    def fin(acc):
+        dup_c, dup_chars, best = flush(
+            # empty array: no element was ever folded -> nothing to flush
+            F.struct(
+                F.coalesce(acc["prev"], F.lit("")).alias("prev"),
+                acc["run"].alias("run"), acc["dup_c"].alias("dup_c"),
+                acc["dup_chars"].alias("dup_chars"), acc["best"].alias("best"),
+            )
+        )
+        return finish(dup_c, dup_chars, best)
+
+    return F.aggregate(sorted_arr, init, step, fin)
+
+
+def repetition_raw_cols(text: Column) -> dict[str, Column]:
+    """The per-row repetition tallies (line/bigram run-length folds),
+    unaliased, keyed by the intermediate names ``repetition_signals`` and
+    ``quality.quality_filter`` stage them under before the fraction step."""
+    lines_arr = F.split(text, "\n")
+    n_lines = F.size(lines_arr).cast("long")
+    tot_chars = F.aggregate(
+        lines_arr, F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x).cast("long"),
+    )
+    line_sig = _run_length_fold(
+        F.array_sort(lines_arr),
+        lambda dup_c, dup_chars, _best: F.struct(
+            dup_c.alias("dup_c"), dup_chars.alias("dup_chars")
+        ),
+    )
+
+    norm = F.regexp_replace(text, "\n", " ")
+    toks = F.split(norm, " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams_arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
+    )
+    bg_best = _run_length_fold(
+        F.array_sort(bigrams_arr), lambda _c, _ch, best: best
+    )
+    return {
+        "__nl": n_lines,
+        "__tc": tot_chars,
+        "__ls": line_sig,
+        "__bb": bg_best,
+        "__tlen": F.length(norm).cast("long"),
+    }
+
+
+def repetition_frac_cols() -> dict[str, Column]:
+    """The published repetition signals as expressions over the staged
+    ``repetition_raw_cols`` columns (exact integer counts divided once in
+    float64 — bit-reproducible by a SQL oracle)."""
+    return {
+        "n_lines": F.col("__nl").cast("int"),
+        "dup_line_frac": _safe_frac(
+            F.col("__ls").getField("dup_c"), F.col("__nl")
+        ),
+        "dup_line_char_frac": _safe_frac(
+            F.col("__ls").getField("dup_chars"), F.col("__tc")
+        ),
+        "top_bigram_mass_frac": _safe_frac(F.col("__bb"), F.col("__tlen")),
+    }
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -135,102 +240,14 @@ def repetition_signals(
     (the contract the explode-based shape established).
     """
 
-    def frac(num, den):
-        den = den.cast("double")
-        return F.when(den == 0, F.lit(0.0)).otherwise(
-            num.cast("double") / den
-        )
-
-    def run_fold(sorted_arr, finish):
-        """Fold equal-adjacent runs of a sorted string array: accumulator
-        carries (prev, run, dup_c, dup_chars, best_mass); each run flushes
-        its (count, count*len) tallies when the element changes."""
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("dup_c"),
-            F.lit(0).cast("long").alias("dup_chars"),
-            F.lit(0).cast("long").alias("best"),
-        )
-
-        def flush(acc):
-            run, prev = acc["run"], acc["prev"]
-            mass = run * F.length(prev).cast("long")
-            is_dup = run > F.lit(1)
-            return (
-                acc["dup_c"] + F.when(is_dup, run).otherwise(F.lit(0)),
-                acc["dup_chars"] + F.when(is_dup, mass).otherwise(F.lit(0)),
-                F.greatest(acc["best"], mass),
-            )
-
-        def step(acc, x):
-            same = acc["prev"].isNotNull() & (x == acc["prev"])
-            dup_c, dup_chars, best = flush(acc)
-            return F.struct(
-                x.alias("prev"),
-                F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-                F.when(same, acc["dup_c"]).otherwise(dup_c).alias("dup_c"),
-                F.when(same, acc["dup_chars"]).otherwise(dup_chars).alias("dup_chars"),
-                F.when(same, acc["best"]).otherwise(best).alias("best"),
-            )
-
-        def fin(acc):
-            dup_c, dup_chars, best = flush(
-                # empty array: no element was ever folded -> nothing to flush
-                F.struct(
-                    F.coalesce(acc["prev"], F.lit("")).alias("prev"),
-                    acc["run"].alias("run"), acc["dup_c"].alias("dup_c"),
-                    acc["dup_chars"].alias("dup_chars"), acc["best"].alias("best"),
-                )
-            )
-            return finish(dup_c, dup_chars, best)
-
-        return F.aggregate(sorted_arr, init, step, fin)
-
     text = F.col(text_col)
-    lines_arr = F.split(text, "\n")
-    n_lines = F.size(lines_arr).cast("long")
-    tot_chars = F.aggregate(
-        lines_arr, F.lit(0).cast("long"),
-        lambda a, x: a + F.length(x).cast("long"),
-    )
-    line_sig = run_fold(
-        F.array_sort(lines_arr),
-        lambda dup_c, dup_chars, _best: F.struct(
-            dup_c.alias("dup_c"), dup_chars.alias("dup_chars")
-        ),
-    )
-
-    norm = F.regexp_replace(text, "\n", " ")
-    toks = F.split(norm, " ")
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams_arr = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
-    )
-    bg_best = run_fold(
-        F.array_sort(bigrams_arr), lambda _c, _ch, best: best
-    )
-
     base = df.filter(text.isNotNull()).select(
         F.col(id_col),
-        n_lines.alias("__nl"),
-        tot_chars.alias("__tc"),
-        line_sig.alias("__ls"),
-        bg_best.alias("__bb"),
-        F.length(norm).cast("long").alias("__tlen"),
+        *(v.alias(k) for k, v in repetition_raw_cols(text).items()),
     )
     return base.select(
         F.col(id_col),
-        F.col("__nl").cast("int").alias("n_lines"),
-        frac(F.col("__ls").getField("dup_c"), F.col("__nl")).alias(
-            "dup_line_frac"
-        ),
-        frac(F.col("__ls").getField("dup_chars"), F.col("__tc")).alias(
-            "dup_line_char_frac"
-        ),
-        frac(F.col("__bb"), F.col("__tlen")).alias("top_bigram_mass_frac"),
+        *(v.alias(k) for k, v in repetition_frac_cols().items()),
     )
 
 

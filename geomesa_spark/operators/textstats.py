@@ -42,13 +42,11 @@ def word_like_token_count_col(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
 
 
-def text_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-doc quality metrics (all built-in expressions):
-
-    n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
-    upper_ratio, stopword_ratio (English), quality_score (weighted mix).
-    """
-    t = F.col(text_col)
+def quality_metric_cols(t: Column) -> dict[str, Column]:
+    """The ``text_quality`` metric expressions, unaliased, keyed by their
+    published column names (ratios pre-rounded to 6 decimals exactly as
+    ``text_quality`` emits them, so any consumer — including the composite
+    ``quality.quality_filter`` verdict — thresholds the identical values)."""
     n_chars = F.length(t)
     n_tokens = token_count_col(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -73,17 +71,44 @@ def text_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         - F.least(F.lit(0.3), digit_ratio)
         + F.least(F.lit(0.2), stop_ratio)
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(mean_tok, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "upper_ratio": F.round(upper_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def text_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality metrics (all built-in expressions):
+
+    n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio (English), quality_score (weighted mix).
+    """
+    metrics = quality_metric_cols(F.col(text_col))
     return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(mean_tok, 6).alias("mean_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(upper_ratio, 6).alias("upper_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        F.col(id_col), *(v.alias(k) for k, v in metrics.items())
     )
+
+
+def lang_pred_col(text: Column) -> Column:
+    """The ``language_id`` prediction as a single unaliased expression."""
+    langs = list(_LANG_MARKERS)
+    t = F.trim(F.lower(text))
+    toks = F.split(t, r"\s+")
+    counts = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*_LANG_MARKERS[lang])))
+        for lang in langs
+    }
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # build CASE chain; earlier langs checked first
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when((F.length(t) == 0) | (best <= 0), F.lit("und")).otherwise(pred)
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -94,19 +119,9 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     argmax with deterministic tie-break (first language in profile order
     wins, matching a fastText-style top-1). No-signal/empty -> 'und'.
     """
-    langs = list(_LANG_MARKERS)
-    t = F.trim(F.lower(F.col(text_col)))
-    toks = F.split(t, r"\s+")
-    counts = {
-        lang: F.size(F.filter(toks, lambda w: w.isin(*_LANG_MARKERS[lang])))
-        for lang in langs
-    }
-    best = F.greatest(*counts.values())
-    pred = F.lit("und")
-    for lang in reversed(langs):  # build CASE chain; earlier langs checked first
-        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when((F.length(t) == 0) | (best <= 0), F.lit("und")).otherwise(pred)
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
+    return df.select(
+        F.col(id_col), lang_pred_col(F.col(text_col)).alias("lang_pred")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, window: int = 16) -> DataFrame:
