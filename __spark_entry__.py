@@ -1406,6 +1406,20 @@ def _q_repetition(spark, sf_dir):
     return repetition_signals(built)
 
 
+def _q_pack_shards(spark, sf_dir):
+    """Deterministic training-shard packing (operators/shards.py): lay the
+    document corpus end-to-end in Lehmer-key order, 2048 tokens per shard.
+    The engine computes the running token offset with range partitions +
+    per-partition Arrow cumsums (no global window sort); the DuckDB twin
+    IS the global window sum over the identical integer key, so every
+    (shard_id, offset) hash-matches bit-for-bit — proving the distributed
+    prefix-sum equals the single-node total order."""
+    from geomesa_spark.operators.shards import pack_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_shards(docs, "text", "doc_id", shard_tokens=2048)
+
+
 def _q_quality_filter(spark, sf_dir):
     """Composite Gopher/C4-style keep/drop verdict (operators/quality.py)
     over the same constructed corpus as `repetition`, so the repetition
@@ -1461,13 +1475,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver oracle-checks only the FIRST 50 entries.
     # Round 5 rotation — slots 1-30 hold the 30 entries whose only green
     # CORRECTNESS rows are from rounds 1-3 (rotated past 50 in round 4),
-    # slots 31-36 the round-5 additions/changes (mosaic's new pixel oracle,
-    # span_dedup, the repetition/density_wkt/boilerplate reworks, and the
-    # composite quality_filter verdict), and slots 37-50 the most
-    # load-bearing queries (headline joins/knn/index scans/dedup — green in
-    # r4, kept under continuous check; dedup_components moves to slot 51
-    # with its r4 green row standing). Entries past 50 all carry green rows
-    # from CORRECTNESS_r03/r04.
+    # slots 31-37 the round-5 additions/changes (mosaic's new pixel oracle,
+    # span_dedup, the repetition/density_wkt/boilerplate reworks, the
+    # composite quality_filter verdict, and pack_shards), and slots 38-50
+    # the most load-bearing queries (headline joins/knn/index scans/dedup —
+    # green in r4, kept under continuous check; minhash_lsh and
+    # dedup_components move to slots 51-52 with their r4 green rows
+    # standing). Entries past 50 all carry green rows from
+    # CORRECTNESS_r03/r04.
     return {
         # -- green in r1-r3 only; rotated back into the checked window ------
         "proximity": _q_proximity,
@@ -1508,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_wkt": _q_density_wkt,
         "boilerplate": _q_boilerplate,
         "quality_filter": _q_quality_filter,
+        "pack_shards": _q_pack_shards,
         # -- load-bearing, green in r4 (kept inside the checked window) -----
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
@@ -2729,6 +2745,29 @@ def oracle_sql() -> dict[str, str]:
         "embed_dedup": _embed_dedup_oracle(),
         "lang_id": _lang_id_oracle(),
         "quality_filter": _quality_filter_oracle(),
+        "pack_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_tokens,
+                       ((doc_id * 48271) % 2147483647) * 48271
+                           % 2147483647 AS k
+                FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_tokens AS BIGINT) AS s
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   s // 2048 AS shard_id,
+                   s % 2048 AS offset_in_shard
+            FROM c
+        """,
         "fingerprint": _fingerprint_oracle(),
         "media_features": _media_features_oracle(),
         "frame_sample": _frame_sample_oracle(),

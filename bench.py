@@ -438,7 +438,7 @@ def _time_queries(spark) -> dict[str, float]:
         "or_union", "record_lookup", "spatial_join_boxes", "sql_functions",
         "redact_pii", "boilerplate", "decontaminate", "repetition", "blocklist",
         # appended r5 (new operators this round; same slot-stability rule)
-        "span_dedup", "quality_filter",
+        "span_dedup", "quality_filter", "pack_shards",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
