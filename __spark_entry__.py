@@ -1435,6 +1435,51 @@ def _q_quality_filter(spark, sf_dir):
     return quality_filter(built, "text", "doc_id")
 
 
+_BM25_TERMS = ("join", "filter", "window", "spark")
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a 4-term query
+    drawn from the fixture vocabulary (operators/scoring.py). Per-term
+    contributions are fixed-pointed to integer micro-units before the
+    per-doc sum, so the DuckDB twin — a full independent tokenize/tf/df
+    implementation running the same operand-order arithmetic —
+    hash-matches bit-for-bit."""
+    from geomesa_spark.operators.scoring import bm25
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text")
+    return bm25(docs, _BM25_TERMS)
+
+
+def _q_lm_score(spark, sf_dir):
+    """CCNet-style unigram LM quality score: mean Laplace-smoothed
+    log-probability per document under the corpus's own unigram
+    distribution (operators/scoring.py). Vocabulary log-probs are
+    fixed-pointed once per distinct term; per-doc sums are exact BIGINT,
+    so the oracle twin reproduces every score exactly."""
+    from geomesa_spark.operators.scoring import unigram_logprob
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
+def _q_cap_domain(spark, sf_dir):
+    """Exact per-domain page cap (corpus.cap_per_group): keep the 2
+    largest pages per host from the messy-url crawl surface, rank cut by
+    (n_chars DESC, doc_id ASC). The engine parses hosts from raw urls
+    and runs the two-branch skew-aware plan (broadcast anti-join pass-
+    through for within-quota domains; WindowGroupLimit top-n for the
+    over-quota slice); the oracle rebuilds the host arithmetically and
+    takes the same rank cut with a global window."""
+    from geomesa_spark.functions.urls import url_host
+    from geomesa_spark.operators.corpus import cap_per_group
+
+    p = _url_pages(_utc(spark), sf_dir).select(
+        "doc_id", url_host(F.col("url")).alias("host"), "n_chars"
+    )
+    return cap_per_group(p, "host", "n_chars", "doc_id", 2)
+
+
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
 
 
@@ -1475,13 +1520,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver oracle-checks only the FIRST 50 entries.
     # Round 5 rotation — slots 1-30 hold the 30 entries whose only green
     # CORRECTNESS rows are from rounds 1-3 (rotated past 50 in round 4),
-    # slots 31-37 the round-5 additions/changes (mosaic's new pixel oracle,
+    # slots 31-40 the round-5 additions/changes (mosaic's new pixel oracle,
     # span_dedup, the repetition/density_wkt/boilerplate reworks, the
-    # composite quality_filter verdict, and pack_shards), and slots 38-50
-    # the most load-bearing queries (headline joins/knn/index scans/dedup —
-    # green in r4, kept under continuous check; minhash_lsh and
-    # dedup_components move to slots 51-52 with their r4 green rows
-    # standing). Entries past 50 all carry green rows from
+    # composite quality_filter verdict, pack_shards, and the late-r5
+    # scoring/cap trio bm25/lm_score/cap_domain), and slots 41-50 the most
+    # load-bearing queries (headline joins/knn/index scans/dedup — green
+    # in r4, kept under continuous check; bbox_indexed, spatial_join_poly/
+    # geoms, minhash_lsh and dedup_components move past 50 with their r4
+    # green rows standing). Entries past 50 all carry green rows from
     # CORRECTNESS_r03/r04.
     return {
         # -- green in r1-r3 only; rotated back into the checked window ------
@@ -1524,23 +1570,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": _q_boilerplate,
         "quality_filter": _q_quality_filter,
         "pack_shards": _q_pack_shards,
+        "bm25": _q_bm25,
+        "lm_score": _q_lm_score,
+        "cap_domain": _q_cap_domain,
         # -- load-bearing, green in r4 (kept inside the checked window) -----
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
         "attr_filter_indexed": _q_attr_filter_indexed,
-        "bbox_indexed": _q_bbox_indexed,
         "record_lookup": _q_record_lookup,
         "or_union": _q_or_union,
         "knn": _q_knn,
         "tube": _q_tube,
         "spatial_join_boxes": _q_spatial_join_boxes,
-        "spatial_join_poly": _q_spatial_join_poly,
-        "spatial_join_geoms": _q_spatial_join_geoms,
         "density": _q_density,
         "dedup_exact": _q_dedup_exact,
+        # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
+        "bbox_indexed": _q_bbox_indexed,
+        "spatial_join_poly": _q_spatial_join_poly,
+        "spatial_join_geoms": _q_spatial_join_geoms,
         "minhash_lsh": _q_minhash_lsh,
         "dedup_components": _q_dedup_components,
-        # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
         "intersects": _q_intersects,
         "within": _q_within,
         "dwithin": _q_dwithin,
@@ -2767,6 +2816,92 @@ def oracle_sql() -> dict[str, str]:
                    s // 2048 AS shard_id,
                    s % 2048 AS offset_in_shard
             FROM c
+        """,
+        # twin of operators.scoring.bm25: same tokenization, same
+        # Lucene/ATIRE idf, same operand order (the expression tree is
+        # written to parenthesize exactly like the Spark column), same
+        # micro-unit rounding before the per-doc sum
+        "bm25": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            docs AS (
+              SELECT doc_id, len(toks) AS dl, toks FROM d WHERE len(toks) > 0
+            ),
+            stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM docs),
+            occ AS (
+              SELECT doc_id, dl, unnest(toks) AS t FROM docs
+            ),
+            tf AS (
+              SELECT doc_id, dl, t, count(*) AS tf FROM occ
+              WHERE t IN {_BM25_TERMS!r}
+              GROUP BY doc_id, dl, t
+            ),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            scored AS (
+              SELECT tf.doc_id, tf.dl,
+                CAST(round(
+                  ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                           / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                             / (CAST(sdl AS DOUBLE)
+                                                / CAST(n AS DOUBLE)))))
+                  * 1000000.0) AS BIGINT) AS micro
+              FROM tf JOIN dfreq USING (t), stats
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_hit,
+                   CAST(max(dl) AS INTEGER) AS dl,
+                   round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 4) AS bm25
+            FROM scored GROUP BY doc_id
+        """,
+        # twin of operators.scoring.unigram_logprob (min_count=1): full
+        # independent vocab-count + Laplace smoothing + micro-unit
+        # fixed-point; LEFT JOIN + floor mirrors the engine's OOV path
+        # structurally even though nothing prunes at min_count=1
+        "lm_score": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            occ AS (SELECT doc_id, unnest(toks) AS t FROM d),
+            vocab AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
+            tot AS (SELECT sum(c) AS tt, count(*) AS v FROM vocab),
+            lp AS (
+              SELECT t, CAST(round(
+                       ln(CAST(c + 1 AS DOUBLE) / CAST(tt + v + 1 AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS lp
+              FROM vocab, tot
+            ),
+            fl AS (
+              SELECT CAST(round(
+                       ln(1.0 / CAST(tt + v + 1 AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS floor_lp
+              FROM tot
+            )
+            SELECT occ.doc_id,
+                   CAST(count(*) AS INTEGER) AS n_tokens,
+                   CAST(sum(CASE WHEN lp.lp IS NULL THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_oov,
+                   round(CAST(sum(coalesce(lp.lp, floor_lp)) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) / 1000000.0, 4)
+                     AS mean_logprob
+            FROM occ LEFT JOIN lp USING (t), fl
+            GROUP BY occ.doc_id
+        """,
+        # twin of corpus.cap_per_group over the url crawl surface: the
+        # global-window rank cut IS the spec the two-branch plan must equal
+        "cap_domain": _URL_CANON_CTE + """
+            SELECT doc_id, host, n_chars FROM hp
+            QUALIFY row_number() OVER (
+              PARTITION BY host ORDER BY n_chars DESC, doc_id ASC) <= 2
         """,
         "fingerprint": _fingerprint_oracle(),
         "media_features": _media_features_oracle(),

@@ -84,6 +84,65 @@ def stratified_sample(
     return keyed.filter(hash_frac(F.col(id_col), salt) < F.col("__p")).drop("__p")
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    n: int,
+    broadcast_over_groups: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, EXACT top-``n`` by
+    ``(order_col DESC, id_col ASC)`` — the deterministic per-domain page
+    cap every published web corpus applies (C4 caps pages per domain;
+    Gopher dedups then caps). Complements :func:`stratified_sample`,
+    which hits quotas only in expectation: here the kept set is the
+    exact rank cut, reproducible bit-for-bit.
+
+    Scale shape (10^12 rows): a naive ``row_number() OVER (PARTITION BY
+    group)`` sorts the ENTIRE corpus on (group, order) — one global
+    shuffle whose hottest domain lands on one task. Instead: pass 1 is a
+    map-side-combined count per group; the (small, zipf-tailed) set of
+    OVER-quota groups broadcasts back, splitting the corpus into
+
+    * the long tail (groups already within quota — the vast majority of
+      rows under any real domain distribution): a broadcast anti-join
+      FILTER, zero exchange, rows pass through untouched;
+    * the over-quota slice only: window rank + cut. Only these rows pay
+      the sort, and Spark's ``WindowGroupLimit`` rewrite (pinned by
+      test_scoring) applies a PARTIAL top-``n`` per partition before the
+      exchange — at most ``n`` rows per (group, input-partition) ever
+      shuffle, so even a single planet-sized domain moves ~``n × P``
+      rows, not its full page count.
+
+    With ``broadcast_over_groups=False`` the semi/anti joins run as
+    shuffle joins for the adversarial case where even the over-quota
+    group SET exceeds the broadcast budget. Union keeps both branches'
+    columns identical, so downstream schemas are unchanged.
+
+    NULL groups are one real group (missing domain is a real stratum in
+    crawl data) — both joins use null-safe equality.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    over = counts.filter(F.col("__n") > n).select(F.col(group_col).alias("__g"))
+    if broadcast_over_groups:
+        over = F.broadcast(over)
+    cond = F.col(group_col).eqNullSafe(F.col("__g"))
+    under = df.join(over, cond, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    capped = (
+        df.join(over, cond, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    return under.unionByName(capped)
+
+
 def descriptive_stats(
     df: DataFrame,
     group_col: str,

@@ -1,0 +1,231 @@
+"""Relevance and language-model scoring over a document corpus: BM25
+keyword scoring and a CCNet-style unigram log-probability quality signal.
+
+These are the two ranking/quality primitives a training-data pipeline
+runs after cleaning: BM25 to pull topical slices out of a crawl (the
+classic "quality via relevance to a seed query" selector) and a corpus
+unigram LM to score how "language-like" each document is (CCNet,
+Wenzek et al. 2020 §4.3, uses an LM perplexity bucket exactly this way —
+here the LM is the corpus's own unigram distribution with Laplace
+smoothing, the degenerate-but-distributable case). The reference
+engine's nearest surface is its per-record stats/cost machinery
+(``UTL/stats/Stat.scala`` builds per-attribute frequency sketches that
+feed query planning); this module is that frequency machinery re-aimed
+at tokens and made a first-class scoring operator.
+
+Determinism contract (both operators): every per-term weight is
+fixed-pointed to an integer micro-unit BEFORE any per-document sum, so
+the only floating-point ops happen once per *distinct term* (a division
+chain and one ``ln`` in a fixed operand order) and the per-document
+aggregation is exact BIGINT arithmetic — partition-order independent,
+bit-identical across engines and cluster runs. A DuckDB twin reproduces
+every score by running the same operand-order arithmetic.
+
+Scale shape (10^12 docs):
+
+* BM25 — the token explode is filtered to the query's terms *before*
+  the per-(doc, term) aggregate, so only matching occurrences ever
+  shuffle (for a k-term query that is a vanishing fraction of the token
+  stream); term document-frequencies collapse to ≤ k rows and broadcast
+  back; corpus-level stats (N, total length) are one single-row
+  aggregate cross-joined as a broadcast. Exactly one corpus-keyed
+  exchange (the per-doc sum, map-side combinable because a document's
+  tokens are colocated after explode).
+* Unigram LM — two passes over the token stream: a vocabulary count
+  (one map-side-combined hash aggregate, output = |vocab| rows) and a
+  per-doc score join. The vocabulary join is broadcast under
+  ``min_count`` pruning (prune AFTER computing the smoothing constants,
+  so probabilities are unchanged; pruned tokens score as unseen via the
+  Laplace floor). At web scale set ``min_count`` so the kept vocabulary
+  fits the broadcast budget — the long tail of hapaxes is exactly what
+  the floor is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000.0
+
+
+def _tokens(text_col: str) -> F.Column:
+    """Lowercased whitespace tokens; the tokenization every text operator
+    in this package shares (``textstats``/``corpus`` use the same split),
+    so scores compose with their signals. Empty strings are filtered IN
+    THE ARRAY (``split('')`` yields ``['']``, which would give empty docs
+    a phantom length-1 token and silently shift N/avgdl/T/V)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Okapi BM25 score of every document against ``query_terms``.
+
+    Returns one row per document containing at least one query term:
+    ``(id_col, n_hit int, dl int, bm25 double)`` where ``n_hit`` is the
+    number of distinct query terms present and ``dl`` the document's
+    token length. Documents matching no term are omitted (their score is
+    identically 0 — at corpus scale materializing them would emit the
+    whole corpus for a sparse query).
+
+    Uses the Lucene/ATIRE idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (always positive, so stopword-heavy queries cannot produce negative
+    contributions). Each (doc, term) contribution is rounded to integer
+    micro-units before the per-doc sum — see the module determinism
+    contract.
+    """
+    toks = _tokens(text_col)
+    docs = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
+    ).filter(F.col("dl") > 0)
+
+    # corpus stats: one single-row aggregate, attached as a broadcast
+    # cross-join (a 1-row build side plans as BroadcastNestedLoopJoin —
+    # exempted in the plan audit's ALLOW_BNLJ because one build row is
+    # just a broadcast variable; Catalyst folds any literal-key equi-join
+    # to the same plan anyway)
+    stats = docs.agg(
+        F.count("*").alias("__n"), F.sum("dl").alias("__sdl")
+    )
+
+    # explode, keep ONLY query-term occurrences (the filter runs inside
+    # the generate stage — non-matching tokens never reach the shuffle)
+    occ = (
+        docs.select(id_col, "dl", F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(list(query_terms)))
+    )
+    tf = occ.groupBy(id_col, "dl", "__t").agg(F.count("*").alias("tf"))
+
+    # per-term document frequency: <= len(query_terms) rows -> broadcast
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+
+    j = tf.join(F.broadcast(dfreq), "__t").crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    dfd = F.col("__df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    tfd = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("__sdl").cast("double") / n
+    # operand order is the contract: the DuckDB twin runs the identical
+    # expression tree, so both engines produce the same IEEE double
+    term = idf * (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
+    )
+    micro = F.round(term * F.lit(_MICRO), 0).cast("long")
+
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit"),
+            F.max("dl").alias("dl"),
+            F.sum(micro).alias("__s"),
+        )
+        .select(
+            id_col,
+            F.col("n_hit").cast("int").alias("n_hit"),
+            F.col("dl").cast("int").alias("dl"),
+            F.round(F.col("__s").cast("double") / F.lit(_MICRO), round_to).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    Laplace-smoothed unigram LM — the distributable stand-in for CCNet's
+    LM-perplexity quality bucket (higher = more typical text; boilerplate
+    and keyword-stuffed spam score low).
+
+    ``p(w) = (c(w) + 1) / (T + V + 1)`` with ``T`` total tokens and ``V``
+    distinct tokens, both computed over the FULL vocabulary before any
+    ``min_count`` pruning (pruning changes what is broadcast, never the
+    distribution); pruned/unseen tokens take the ``c = 0`` floor.
+
+    Returns ``(id_col, n_tokens int, n_oov int, mean_logprob double)``
+    for every document with at least one token.
+    """
+    toks = _tokens(text_col)
+    occ = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .filter(F.col("__t") != "")
+    )
+
+    vocab = occ.groupBy("__t").agg(F.count("*").alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__tt"), F.count("*").alias("__v")
+    )
+    # log-prob per DISTINCT term, fixed-pointed once; denominators are
+    # exact integers so the double division is identical in any engine.
+    # Single-row attachments are broadcast cross-joins (see bm25's stats
+    # note / the audit's ALLOW_BNLJ exemption)
+    vb = vocab.crossJoin(F.broadcast(totals))
+    denom = (F.col("__tt") + F.col("__v") + F.lit(1)).cast("double")
+    lp = F.log((F.col("__c") + F.lit(1)).cast("double") / denom)
+    kept = (
+        vb.filter(F.col("__c") >= min_count)
+        .select(
+            "__t",
+            F.round(lp * F.lit(_MICRO), 0).cast("long").alias("__lp"),
+        )
+    )
+    floor_lp = (
+        totals.select(
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    / (F.col("__tt") + F.col("__v") + F.lit(1)).cast("double")
+                )
+                * F.lit(_MICRO),
+                0,
+            )
+            .cast("long")
+            .alias("__floor")
+        )
+    )
+
+    scored = (
+        occ.join(F.broadcast(kept), "__t", "left")
+        .crossJoin(F.broadcast(floor_lp))
+        .select(
+            id_col,
+            F.coalesce(F.col("__lp"), F.col("__floor")).alias("__lp"),
+            F.col("__lp").isNull().cast("int").alias("__oov"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__oov").alias("n_oov"),
+            F.sum("__lp").alias("__s"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_oov").cast("int").alias("n_oov"),
+            F.round(
+                F.col("__s").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(_MICRO),
+                round_to,
+            ).alias("mean_logprob"),
+        )
+    )

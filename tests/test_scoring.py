@@ -1,0 +1,156 @@
+"""Planted-case tests for operators/scoring.py (BM25 + unigram LM) and
+corpus.cap_per_group. Every expected number below is computed by hand /
+with plain Python floats using the exact operand order the operators
+document, so the tests pin the arithmetic contract the DuckDB oracle
+twins rely on."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.corpus import cap_per_group
+from geomesa_spark.operators.scoring import bm25, unigram_logprob
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark join join filter"),
+        (1, "filter filter filter filter"),
+        (2, "window scan scan"),
+        (3, "spark spark spark join window"),
+        (4, ""),  # empty: excluded by both operators
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_expected(docs_py, terms, k1=1.2, b=0.75):
+    tokd = {i: t.lower().strip().split() for i, t in docs_py if t.strip()}
+    n = len(tokd)
+    avgdl = sum(len(v) for v in tokd.values()) / float(n)
+    dfreq = {
+        t: sum(1 for v in tokd.values() if t in v) for t in terms
+    }
+    out = {}
+    for i, v in tokd.items():
+        s = 0
+        hits = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            dl = float(len(v))
+            term = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+            )
+            s += int(round(term * 1e6))
+        if hits:
+            out[i] = (hits, len(v), round(s / 1e6, 4))
+    return out
+
+
+def test_bm25_planted(docs):
+    terms = ("spark", "join")
+    got = {
+        r["doc_id"]: (r["n_hit"], r["dl"], r["bm25"])
+        for r in bm25(docs, terms).collect()
+    }
+    exp = _bm25_expected(
+        [(0, "spark join join filter"), (1, "filter filter filter filter"),
+         (2, "window scan scan"), (3, "spark spark spark join window"),
+         (4, "")],
+        terms,
+    )
+    assert got == exp
+    assert 1 not in got and 2 not in got and 4 not in got  # no matching term
+    # doc 3 has more 'spark' mass than doc 0 -> higher score
+    assert got[3][2] > got[0][2]
+
+
+def test_bm25_idf_positive(docs):
+    # a term present in EVERY non-empty doc still gets idf > 0 under the
+    # Lucene/ATIRE form (ln(1 + ...) never goes negative)
+    every = docs.filter(F.col("text") != "").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" common"))
+    )
+    got = bm25(every, ("common",)).collect()
+    assert len(got) == 4 and all(r["bm25"] > 0 for r in got)
+
+
+def test_unigram_logprob_planted(docs):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["mean_logprob"])
+        for r in unigram_logprob(docs).collect()
+    }
+    # corpus: T=16 tokens, V=5 distinct -> denom 22
+    counts = {"spark": 4, "join": 3, "filter": 5, "window": 2, "scan": 2}
+    assert sum(counts.values()) == 16 and len(counts) == 5
+    lp = {t: int(round(math.log((c + 1) / 22.0) * 1e6)) for t, c in counts.items()}
+    exp = {}
+    for i, text in [(0, "spark join join filter"),
+                    (1, "filter filter filter filter"),
+                    (2, "window scan scan"),
+                    (3, "spark spark spark join window")]:
+        toks = text.split()
+        s = sum(lp[t] for t in toks)
+        exp[i] = (len(toks), 0, round(s / len(toks) / 1e6, 4))
+    assert got == exp
+    # doc 1 is all-modal-token -> highest (least negative) mean logprob
+    assert got[1][2] == max(v[2] for v in got.values())
+
+
+def test_unigram_logprob_oov_floor(docs):
+    # min_count=2 prunes nothing here (all counts >=2); min_count=3 prunes
+    # window+scan -> docs 2,3 get OOV floor tokens; distribution params
+    # (T=16, V=5) must NOT change under pruning
+    got = {
+        r["doc_id"]: (r["n_oov"], r["mean_logprob"])
+        for r in unigram_logprob(docs, min_count=3).collect()
+    }
+    assert got[2][0] == 3 and got[3][0] == 1  # window/scan occurrences
+    assert got[0][0] == 0 and got[1][0] == 0
+    floor = int(round(math.log(1 / 22.0) * 1e6))
+    lp = {t: int(round(math.log((c + 1) / 22.0) * 1e6))
+          for t, c in {"spark": 4, "join": 3, "filter": 5}.items()}
+    s3 = lp["spark"] * 3 + lp["join"] + floor
+    assert got[3][1] == round(s3 / 5 / 1e6, 4)
+
+
+def test_cap_per_group_exact(spark):
+    rows = [
+        # domain a: 4 rows (over quota 2) -> keep the 2 largest, tie by id
+        ("a", 1, 100), ("a", 2, 300), ("a", 3, 300), ("a", 4, 50),
+        # domain b: exactly at quota -> untouched (under branch)
+        ("b", 5, 10), ("b", 6, 20),
+        # NULL domain: a real group, over quota
+        (None, 7, 5), (None, 8, 9), (None, 9, 7),
+    ]
+    df = spark.createDataFrame(rows, "dom string, id long, sz long")
+    kept = {
+        r["id"] for r in cap_per_group(df, "dom", "sz", "id", 2).collect()
+    }
+    assert kept == {2, 3, 5, 6, 8, 9}
+    # non-broadcast fallback: identical result
+    kept2 = {
+        r["id"]
+        for r in cap_per_group(
+            df, "dom", "sz", "id", 2, broadcast_over_groups=False
+        ).collect()
+    }
+    assert kept2 == kept
+
+
+def test_cap_per_group_plan_two_branches(spark):
+    rows = [("a", i, i) for i in range(5)] + [("b", 10, 1)]
+    df = spark.createDataFrame(rows, "dom string, id long, sz long")
+    plan = cap_per_group(df, "dom", "sz", "id", 2)._jdf.queryExecution().executedPlan().toString()
+    # under branch must be a broadcast anti join (no exchange on its
+    # corpus side); only the over slice sees a window
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window [row_number()") == 1
+    # Spark 4 inserts WindowGroupLimit: partial top-n per partition BEFORE
+    # the exchange, so only <=n rows per (group, partition) ever shuffle
+    assert "WindowGroupLimit" in plan
