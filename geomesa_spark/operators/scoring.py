@@ -84,7 +84,14 @@ def bm25(
     contributions). Each (doc, term) contribution is rounded to integer
     micro-units before the per-doc sum — see the module determinism
     contract.
+
+    Query terms are normalized like document tokens (lowercased,
+    de-duplicated) — a mixed-case term would otherwise silently match
+    nothing against the lowercased token stream.
     """
+    terms = sorted({t.lower().strip() for t in query_terms} - {""})
+    if not terms:
+        raise ValueError("bm25: query_terms is empty after normalization")
     toks = _tokens(text_col)
     docs = df.select(
         F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
@@ -103,7 +110,7 @@ def bm25(
     # the generate stage — non-matching tokens never reach the shuffle)
     occ = (
         docs.select(id_col, "dl", F.explode("__toks").alias("__t"))
-        .filter(F.col("__t").isin(list(query_terms)))
+        .filter(F.col("__t").isin(terms))
     )
     tf = occ.groupBy(id_col, "dl", "__t").agg(F.count("*").alias("tf"))
 

@@ -80,6 +80,16 @@ def test_bm25_idf_positive(docs):
     assert len(got) == 4 and all(r["bm25"] > 0 for r in got)
 
 
+def test_bm25_term_normalization(docs):
+    # mixed-case + duplicate query terms normalize to the token casing;
+    # an all-whitespace query is a hard error, not an empty result
+    a = {r["doc_id"]: r["bm25"] for r in bm25(docs, ("SPARK", "Join")).collect()}
+    b = {r["doc_id"]: r["bm25"] for r in bm25(docs, ("spark", "join", "spark")).collect()}
+    assert a == b and a
+    with pytest.raises(ValueError):
+        bm25(docs, ("", "  "))
+
+
 def test_unigram_logprob_planted(docs):
     got = {
         r["doc_id"]: (r["n_tokens"], r["n_oov"], r["mean_logprob"])
