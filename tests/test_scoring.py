@@ -90,6 +90,24 @@ def test_bm25_term_normalization(docs):
         bm25(docs, ("", "  "))
 
 
+def test_bm25_paths_agree(docs):
+    # the codegen (default) and explode+join (wide-query) paths must
+    # produce identical rows — same _bm25_micro tree, exact integer sums
+    terms = ("spark", "join", "scan")
+    a = sorted(bm25(docs, terms).collect())
+    b = sorted(bm25(docs, terms, codegen_terms_max=0).collect())
+    # doc 1 is all-"filter" -> matches none of the three terms
+    assert a == b and len(a) == 3
+
+
+def test_bm25_codegen_plan_zero_corpus_shuffle(docs):
+    # default path: no hash-partitioned exchange anywhere — the only
+    # exchange is the single-row stats SinglePartition collapse
+    plan = bm25(docs, ("spark", "join"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode
+
+
 def test_unigram_logprob_planted(docs):
     got = {
         r["doc_id"]: (r["n_tokens"], r["n_oov"], r["mean_logprob"])
