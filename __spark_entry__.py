@@ -1463,6 +1463,22 @@ def _q_lm_score(spark, sf_dir):
     return unigram_logprob(docs)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weight of every document against the
+    English slice as the target distribution (operators/scoring.py,
+    Xie et al. 2023). Hashed-bigram buckets come from an md5-hex prefix
+    (cross-engine-stable), per-bucket log-ratios are fixed-pointed to
+    integer micro-units once per distinct bucket, and each document's
+    weight is an exact BIGINT sum — the DuckDB twin reproduces every
+    double bit-for-bit without any rounding step."""
+    from geomesa_spark.operators.scoring import dsir_weights
+
+    docs = _docs(_utc(spark), sf_dir).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return dsir_weights(docs)
+
+
 def _q_cap_domain(spark, sf_dir):
     """Exact per-domain page cap (corpus.cap_per_group): keep the 2
     largest pages per host from the messy-url crawl surface, rank cut by
@@ -1573,7 +1589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "lm_score": _q_lm_score,
         "cap_domain": _q_cap_domain,
-        # -- load-bearing, green in r4 (kept inside the checked window) -----
+        "dsir_weights": _q_dsir_weights,
+        # -- load-bearing, green in r4 (kept inside the checked window;
+        #    `density` — r4-green, untouched since — moved to slot 51+ to
+        #    make room for dsir_weights) --------------------------------
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
         "attr_filter_indexed": _q_attr_filter_indexed,
@@ -1582,9 +1601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "tube": _q_tube,
         "spatial_join_boxes": _q_spatial_join_boxes,
-        "density": _q_density,
         "dedup_exact": _q_dedup_exact,
         # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
+        "density": _q_density,
         "bbox_indexed": _q_bbox_indexed,
         "spatial_join_poly": _q_spatial_join_poly,
         "spatial_join_geoms": _q_spatial_join_geoms,
@@ -2898,6 +2917,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # twin of corpus.cap_per_group over the url crawl surface: the
         # global-window rank cut IS the spec the two-branch plan must equal
+        "dsir_weights": """
+            WITH d AS (
+              SELECT doc_id, (lang = 'en') AS tgt,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            d2 AS (SELECT doc_id, tgt, toks FROM d WHERE len(toks) >= 2),
+            occ AS (
+              SELECT doc_id, tgt, substring(md5(bg), 1, 3) AS f
+              FROM (SELECT doc_id, tgt,
+                           unnest(list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                    FROM d2)
+            ),
+            counts AS (
+              SELECT f, count(*) AS cr,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+              FROM occ GROUP BY f
+            ),
+            tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+            ratio AS (
+              SELECT f, CAST(round(
+                  (ln((CAST(ct AS DOUBLE) + 1.0)
+                      / (CAST(tt AS DOUBLE) + 4096.0))
+                 - ln((CAST(cr AS DOUBLE) + 1.0)
+                      / (CAST(tr AS DOUBLE) + 4096.0)))
+                  * 1000000.0) AS BIGINT) AS mu
+              FROM counts, tot
+            )
+            SELECT occ.doc_id, CAST(count(*) AS INTEGER) AS n_feats,
+                   CAST(sum(mu) AS DOUBLE) / 1000000.0 AS dsir_logratio
+            FROM occ JOIN ratio USING (f)
+            GROUP BY occ.doc_id
+        """,
         "cap_domain": _URL_CANON_CTE + """
             SELECT doc_id, host, n_chars FROM hp
             QUALIFY row_number() OVER (

@@ -31,6 +31,11 @@ Scale shape (10^12 docs):
   back to an explode filtered to query terms inside the generate stage
   (non-matching tokens never leave the scan task) with two doc-keyed
   exchanges that carry only matched occurrences.
+* DSIR importance weights — the hashed-bigram bucket space is bounded
+  (``16**bucket_hex``), so the distribution estimate is one map-side-
+  combined aggregate whose exchange carries <= B rows per task, the
+  log-ratio table broadcasts, and the only corpus-keyed exchange is the
+  per-doc sum. No join ever shuffles the corpus.
 * Unigram LM — two passes over the token stream: a vocabulary count
   (one map-side-combined hash aggregate, output = |vocab| rows) and a
   per-doc score join. The vocabulary join is broadcast under
@@ -347,5 +352,112 @@ def unigram_logprob(
                 / F.lit(_MICRO),
                 round_to,
             ).alias("mean_logprob"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    bucket_hex: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weight per document: how much more likely
+    the document's hashed-bigram bag is under the *target* distribution
+    than under the raw-corpus distribution (Data Selection via
+    Importance Resampling, Xie et al. 2023 — the standard recipe for
+    steering a web crawl toward a high-quality target domain). Sort
+    descending and take the token budget's worth to select.
+
+    ``target_col`` is a boolean column marking the target subset (the
+    target is a slice OF the corpus — e.g. a trusted source — so every
+    feature seen anywhere is seen in the raw distribution). Features are
+    word bigrams hashed into ``16**bucket_hex`` buckets via an md5-hex
+    prefix — a cross-engine-stable hash, so the DuckDB twin reproduces
+    bucket assignment exactly. Per-bucket log-ratios under Laplace
+    smoothing ``alpha``:
+
+        mu(f) = ln((ct(f)+a) / (Tt+a*B)) - ln((cr(f)+a) / (Tr+a*B))
+
+    are fixed-pointed to integer micro-units once per DISTINCT bucket
+    (<= B doubles total, fixed operand order), and each document's
+    weight is the exact BIGINT sum of its occurrences' micro-units —
+    partition-order independent and bit-identical across engines.
+
+    Returns ``(id_col, n_feats int, dsir_logratio double)`` for every
+    document with at least one bigram (>= 2 tokens).
+
+    Scale shape (10^12 docs): the explode feeds ONE bucket-keyed
+    aggregate whose output is bounded by B (map-side combined, so the
+    exchange carries <= B rows per task); the log-ratio table (<= B
+    rows) broadcasts back onto a second pass over the occurrence stream;
+    the only corpus-keyed exchange is the final per-doc sum (map-side
+    combinable). No join ever shuffles the corpus.
+    """
+    if bucket_hex < 1 or bucket_hex > 8:
+        raise ValueError("bucket_hex must be in [1, 8]")
+    b_total = float(16**bucket_hex)
+    toks = _tokens(text_col)
+    docs = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("__tgt"),
+        toks.alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    # word bigrams as a codegen-side array zip (no python, no join)
+    big = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    occ = docs.select(
+        F.col(id_col),
+        "__tgt",
+        F.explode(big).alias("__bg"),
+    ).select(
+        F.col(id_col),
+        "__tgt",
+        F.substring(F.md5(F.col("__bg")), 1, bucket_hex).alias("__f"),
+    )
+
+    counts = occ.groupBy("__f").agg(
+        F.count("*").alias("__cr"),
+        F.count_if(F.col("__tgt")).alias("__ct"),
+    )
+    tot = counts.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    # one double division chain + two lns per distinct bucket, fixed
+    # operand order (the cross-engine determinism contract); the 1-row
+    # totals attachment is the documented ALLOW_BNLJ broadcast shape
+    mu = F.log(
+        (F.col("__ct").cast("double") + F.lit(alpha))
+        / (F.col("__tt").cast("double") + F.lit(alpha * b_total))
+    ) - F.log(
+        (F.col("__cr").cast("double") + F.lit(alpha))
+        / (F.col("__tr").cast("double") + F.lit(alpha * b_total))
+    )
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "__f",
+        F.round(mu * F.lit(_MICRO), 0).cast("long").alias("__mu"),
+    )
+
+    # inner join is exact: every occurrence bucket appears in `counts`
+    # by construction (the raw distribution covers the whole corpus)
+    scored = occ.join(F.broadcast(ratio), "__f")
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_feats"), F.sum("__mu").alias("__s"))
+        .select(
+            id_col,
+            F.col("n_feats").cast("int").alias("n_feats"),
+            # deliberately NOT rounded: an exact BIGINT divided by the
+            # same constant is bit-identical in every engine, while a
+            # decimal round of a half-way double is not (HALF_UP vs
+            # round-half-even disagree one ulp on exact .xxxx5 sums)
+            (F.col("__s").cast("double") / F.lit(_MICRO)).alias(
+                "dsir_logratio"
+            ),
         )
     )

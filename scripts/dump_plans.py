@@ -48,6 +48,10 @@ FORBID = {
     "bm25": ["SortMergeJoin", "Exchange hashpartitioning", "Generate"],
     "lm_score": ["SortMergeJoin"],
     "cap_domain": ["SortMergeJoin"],
+    # dsir's ratio table is bounded by the bucket space (4096 rows) and
+    # must broadcast back onto the occurrence stream — an SMJ would
+    # re-shuffle every bigram occurrence by bucket
+    "dsir_weights": ["SortMergeJoin"],
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: their build
@@ -57,7 +61,7 @@ FORBID = {
 # nested-loop — which for one build row is exactly a broadcast variable,
 # zero loop cost. Everywhere else BNLJ stays a BAD flag (it means an
 # accidental cartesian over real relations).
-ALLOW_BNLJ = {"bm25", "lm_score"}
+ALLOW_BNLJ = {"bm25", "lm_score", "dsir_weights"}
 
 AUDIT = [
     # name -> what the plan must show
@@ -90,6 +94,7 @@ AUDIT = [
     ("bm25", "codegen per-term tf (no explode); single-row stats broadcast; ZERO corpus-keyed exchange"),
     ("lm_score", "vocab + totals broadcast; occurrence stream joins without shuffle; ONE doc-keyed exchange"),
     ("cap_domain", "broadcast anti/semi split; WindowGroupLimit partial top-n before the over-slice exchange"),
+    ("dsir_weights", "bucket agg bounded by 16^3; log-ratio broadcast; ONE doc-keyed exchange"),
 ]
 
 FLAGS = [

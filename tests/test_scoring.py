@@ -182,3 +182,78 @@ def test_cap_per_group_plan_two_branches(spark):
     # Spark 4 inserts WindowGroupLimit: partial top-n per partition BEFORE
     # the exchange, so only <=n rows per (group, partition) ever shuffle
     assert "WindowGroupLimit" in plan
+
+
+def _dsir_expected(docs_py, targets, bucket_hex=3, alpha=1.0):
+    import hashlib
+
+    b_total = float(16**bucket_hex)
+    tokd = {
+        i: t.lower().strip().split()
+        for i, t in docs_py
+        if len(t.lower().strip().split()) >= 2
+    }
+    occ = []
+    for i, toks in tokd.items():
+        for a, b in zip(toks, toks[1:]):
+            f = hashlib.md5(f"{a} {b}".encode()).hexdigest()[:bucket_hex]
+            occ.append((i, f))
+    cr, ct = {}, {}
+    for i, f in occ:
+        cr[f] = cr.get(f, 0) + 1
+        if i in targets:
+            ct[f] = ct.get(f, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    mu = {
+        f: int(
+            round(
+                (
+                    math.log((ct.get(f, 0) + alpha) / (tt + alpha * b_total))
+                    - math.log((cr[f] + alpha) / (tr + alpha * b_total))
+                )
+                * 1e6
+            )
+        )
+        for f in cr
+    }
+    out = {}
+    for i, f in occ:
+        n, s = out.get(i, (0, 0))
+        out[i] = (n + 1, s + mu[f])
+    return {i: (n, s / 1e6) for i, (n, s) in out.items()}
+
+
+def test_dsir_planted(docs):
+    # target = docs 0 and 3 (the spark-y ones); doc 4 empty, excluded
+    d = docs.withColumn("is_target", F.col("doc_id").isin(0, 3))
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logratio"])
+        for r in __import__(
+            "geomesa_spark.operators.scoring", fromlist=["dsir_weights"]
+        ).dsir_weights(d).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    exp = _dsir_expected(rows, targets={0, 3})
+    assert got == exp
+    # docs sharing bigrams with the target score higher than docs that
+    # don't: doc 1 ("filter"x4) shares nothing with the target set
+    assert got[0][1] > got[1][1] and got[3][1] > got[1][1]
+
+
+def test_dsir_no_corpus_shuffle_on_ratio_join(docs):
+    from geomesa_spark.operators.scoring import dsir_weights
+
+    d = docs.withColumn("is_target", F.col("doc_id") == 0)
+    plan = (
+        dsir_weights(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the ratio table must broadcast back — never sort-merge the
+    # occurrence stream by bucket
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_bucket_hex_bounds(docs):
+    from geomesa_spark.operators.scoring import dsir_weights
+
+    with pytest.raises(ValueError):
+        dsir_weights(docs.withColumn("is_target", F.lit(True)), bucket_hex=0)
