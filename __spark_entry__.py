@@ -1479,6 +1479,21 @@ def _q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs)
 
 
+def _q_dsir_resample(spark, sf_dir):
+    """Gumbel top-k resampling of the DSIR weights (the sampling half of
+    Xie et al. 2023): k=100 documents drawn without replacement with
+    probability ∝ exp(weight), using the package's deterministic
+    two-round Lehmer hash as the uniform source so the draw is
+    bit-reproducible — the oracle twin recomputes weight, Gumbel key,
+    and the top-100 cut from scratch."""
+    from geomesa_spark.operators.scoring import dsir_resample, dsir_weights
+
+    docs = _docs(_utc(spark), sf_dir).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return dsir_resample(dsir_weights(docs), k=100)
+
+
 def _q_cap_domain(spark, sf_dir):
     """Exact per-domain page cap (corpus.cap_per_group): keep the 2
     largest pages per host from the messy-url crawl surface, rank cut by
@@ -1590,20 +1605,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "cap_domain": _q_cap_domain,
         "dsir_weights": _q_dsir_weights,
+        "dsir_resample": _q_dsir_resample,
         # -- load-bearing, green in r4 (kept inside the checked window;
-        #    `density` — r4-green, untouched since — moved to slot 51+ to
-        #    make room for dsir_weights) --------------------------------
+        #    `density` and `or_union` — r4-green, untouched since — moved
+        #    to slot 51+ to make room for the DSIR pair) ----------------
         "bbox": _q_bbox,
         "bbox_time_indexed": _q_bbox_time_indexed,
         "attr_filter_indexed": _q_attr_filter_indexed,
         "record_lookup": _q_record_lookup,
-        "or_union": _q_or_union,
         "knn": _q_knn,
         "tube": _q_tube,
         "spatial_join_boxes": _q_spatial_join_boxes,
         "dedup_exact": _q_dedup_exact,
         # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
         "density": _q_density,
+        "or_union": _q_or_union,
         "bbox_indexed": _q_bbox_indexed,
         "spatial_join_poly": _q_spatial_join_poly,
         "spatial_join_geoms": _q_spatial_join_geoms,
@@ -2111,6 +2127,49 @@ def _mosaic_oracle() -> str:
         GROUP BY n.px_x, n.px_y
     """
 
+
+# DuckDB twin of operators/scoring.dsir_weights (target = lang 'en'):
+# md5-prefix bucket assignment, per-bucket Laplace log-ratios fixed-pointed
+# to BIGINT micro-units, exact integer per-doc sums — shared by the
+# dsir_weights oracle and (wrapped with the Gumbel key) dsir_resample's.
+_DSIR_SQL = """
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    d2 AS (SELECT doc_id, tgt, toks FROM d WHERE len(toks) >= 2),
+    occ AS (
+      SELECT doc_id, tgt, substring(md5(bg), 1, 3) AS f
+      FROM (SELECT doc_id, tgt,
+                   unnest(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM d2)
+    ),
+    counts AS (
+      SELECT f, count(*) AS cr,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      FROM occ GROUP BY f
+    ),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+    ratio AS (
+      SELECT f, CAST(round(
+          (ln((CAST(ct AS DOUBLE) + 1.0)
+              / (CAST(tt AS DOUBLE) + 4096.0))
+         - ln((CAST(cr AS DOUBLE) + 1.0)
+              / (CAST(tr AS DOUBLE) + 4096.0)))
+          * 1000000.0) AS BIGINT) AS mu
+      FROM counts, tot
+    ),
+    w AS (
+      SELECT occ.doc_id, CAST(count(*) AS INTEGER) AS n_feats,
+             CAST(sum(mu) AS DOUBLE) / 1000000.0 AS dsir_logratio
+      FROM occ JOIN ratio USING (f)
+      GROUP BY occ.doc_id
+    )
+"""
 
 # DuckDB twin of (_url_pages -> functions.urls.canonicalize_url): rebuilds
 # the deterministic messy urls from doc_id, then canonicalizes them with
@@ -2917,41 +2976,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # twin of corpus.cap_per_group over the url crawl surface: the
         # global-window rank cut IS the spec the two-branch plan must equal
-        "dsir_weights": """
-            WITH d AS (
-              SELECT doc_id, (lang = 'en') AS tgt,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ),
-            d2 AS (SELECT doc_id, tgt, toks FROM d WHERE len(toks) >= 2),
-            occ AS (
-              SELECT doc_id, tgt, substring(md5(bg), 1, 3) AS f
-              FROM (SELECT doc_id, tgt,
-                           unnest(list_transform(
-                             generate_series(1, len(toks) - 1),
-                             i -> toks[i] || ' ' || toks[i + 1])) AS bg
-                    FROM d2)
-            ),
-            counts AS (
-              SELECT f, count(*) AS cr,
-                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
-              FROM occ GROUP BY f
-            ),
-            tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
-            ratio AS (
-              SELECT f, CAST(round(
-                  (ln((CAST(ct AS DOUBLE) + 1.0)
-                      / (CAST(tt AS DOUBLE) + 4096.0))
-                 - ln((CAST(cr AS DOUBLE) + 1.0)
-                      / (CAST(tr AS DOUBLE) + 4096.0)))
-                  * 1000000.0) AS BIGINT) AS mu
-              FROM counts, tot
+        "dsir_weights": _DSIR_SQL + """
+            SELECT doc_id, n_feats, dsir_logratio FROM w
+        """,
+        "dsir_resample": _DSIR_SQL + """
+            , g AS (
+              SELECT doc_id, dsir_logratio,
+                     CAST(round((dsir_logratio / 1.0
+                       - ln(-ln((CAST((doc_id * 48271) % 2147483647
+                                      * 48271 % 2147483647 AS DOUBLE) + 0.5)
+                                / 2147483647.0))) * 1000000.0)
+                          AS BIGINT) AS k
+              FROM w
             )
-            SELECT occ.doc_id, CAST(count(*) AS INTEGER) AS n_feats,
-                   CAST(sum(mu) AS DOUBLE) / 1000000.0 AS dsir_logratio
-            FROM occ JOIN ratio USING (f)
-            GROUP BY occ.doc_id
+            SELECT doc_id, dsir_logratio,
+                   CAST(k AS DOUBLE) / 1000000.0 AS sample_key
+            FROM g
+            ORDER BY k DESC, doc_id
+            LIMIT 100
         """,
         "cap_domain": _URL_CANON_CTE + """
             SELECT doc_id, host, n_chars FROM hp

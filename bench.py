@@ -439,7 +439,7 @@ def _time_queries(spark) -> dict[str, float]:
         "redact_pii", "boilerplate", "decontaminate", "repetition", "blocklist",
         # appended r5 (new operators this round; same slot-stability rule)
         "span_dedup", "quality_filter", "pack_shards",
-        "bm25", "lm_score", "cap_domain", "dsir_weights",
+        "bm25", "lm_score", "cap_domain", "dsir_weights", "dsir_resample",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

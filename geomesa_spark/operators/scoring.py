@@ -461,3 +461,72 @@ def dsir_weights(
             ),
         )
     )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_logratio",
+    temperature: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """The "R" in DSIR: Gumbel top-k resampling of ``dsir_weights``
+    output — draws ``k`` documents WITHOUT replacement with probability
+    proportional to ``exp(weight / temperature)`` (the Gumbel-max trick;
+    Xie et al. 2023 resample importance weights exactly this way, and
+    temperature=0+ degenerates to plain top-k by weight).
+
+    The Gumbel noise is deterministic: ``u`` comes from the package's
+    two-round Lehmer permutation of the id (the same generator every
+    sampling op here uses), offset to the interval midpoint
+    ``(h + 0.5) / M`` so it is strictly inside (0, 1) — ``u = 0`` or
+    ``u = 1`` would make ``-ln(-ln(u))`` infinite, and id 0 does hash to
+    0. The sample is therefore reproducible bit-for-bit across engines,
+    retries, and partitionings, unlike anything seeded from
+    ``rand()``.
+
+    Returns ``(id_col, weight_col, sample_key double)`` for the k
+    selected rows. Scale shape: the key is a pure codegen map and the
+    selection plans as TakeOrderedAndProject — each task keeps its local
+    top-k, the driver merges K*tasks candidates; no global sort, no
+    shuffle.
+    """
+    from geomesa_spark.operators.corpus import _MINSTD_A, _MINSTD_M
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    x = F.col(id_col).cast("long")
+    h1 = ((x + F.lit(salt)) * F.lit(_MINSTD_A)) % F.lit(_MINSTD_M)
+    h2 = (h1 * F.lit(_MINSTD_A)) % F.lit(_MINSTD_M)
+    u = (h2.cast("double") + F.lit(0.5)) / F.lit(float(_MINSTD_M))
+    # fixed-pointed to micro-units like every ln in this module: JVM
+    # Math.log and libc log may disagree by one ulp, so the raw double
+    # key is NOT cross-engine-stable — the micro-rounded key is, and the
+    # final constant division back to double is exact in both engines
+    key_micro = F.round(
+        (
+            F.col(weight_col).cast("double") / F.lit(float(temperature))
+            - F.log(-F.log(u))
+        )
+        * F.lit(_MICRO),
+        0,
+    ).cast("long")
+    return (
+        weights.select(
+            F.col(id_col),
+            F.col(weight_col),
+            key_micro.alias("__k"),
+        )
+        .orderBy(F.col("__k").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            (F.col("__k").cast("double") / F.lit(_MICRO)).alias(
+                "sample_key"
+            ),
+        )
+    )

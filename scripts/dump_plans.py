@@ -52,6 +52,9 @@ FORBID = {
     # must broadcast back onto the occurrence stream — an SMJ would
     # re-shuffle every bigram occurrence by bucket
     "dsir_weights": ["SortMergeJoin"],
+    # the top-k must be TakeOrderedAndProject (per-task partial top-k),
+    # never a range-partitioned global sort
+    "dsir_resample": ["SortMergeJoin", "Exchange rangepartitioning"],
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: their build
@@ -61,7 +64,7 @@ FORBID = {
 # nested-loop — which for one build row is exactly a broadcast variable,
 # zero loop cost. Everywhere else BNLJ stays a BAD flag (it means an
 # accidental cartesian over real relations).
-ALLOW_BNLJ = {"bm25", "lm_score", "dsir_weights"}
+ALLOW_BNLJ = {"bm25", "lm_score", "dsir_weights", "dsir_resample"}
 
 AUDIT = [
     # name -> what the plan must show
@@ -95,6 +98,7 @@ AUDIT = [
     ("lm_score", "vocab + totals broadcast; occurrence stream joins without shuffle; ONE doc-keyed exchange"),
     ("cap_domain", "broadcast anti/semi split; WindowGroupLimit partial top-n before the over-slice exchange"),
     ("dsir_weights", "bucket agg bounded by 16^3; log-ratio broadcast; ONE doc-keyed exchange"),
+    ("dsir_resample", "codegen Gumbel key + TakeOrdered partial top-k; no global sort"),
 ]
 
 FLAGS = [

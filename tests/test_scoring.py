@@ -257,3 +257,49 @@ def test_dsir_bucket_hex_bounds(docs):
 
     with pytest.raises(ValueError):
         dsir_weights(docs.withColumn("is_target", F.lit(True)), bucket_hex=0)
+
+
+def _gumbel_key(doc_id, w, temperature=1.0, salt=0):
+    h1 = ((doc_id + salt) * 48271) % 2147483647
+    h2 = (h1 * 48271) % 2147483647
+    u = (h2 + 0.5) / 2147483647.0
+    raw = w / temperature - math.log(-math.log(u))
+    return int(round(raw * 1e6)) / 1e6  # micro fixed-point, as the op does
+
+
+def test_dsir_resample_planted(docs):
+    from geomesa_spark.operators.scoring import dsir_resample, dsir_weights
+
+    d = docs.withColumn("is_target", F.col("doc_id").isin(0, 3))
+    w = dsir_weights(d)
+    wrows = {r["doc_id"]: r["dsir_logratio"] for r in w.collect()}
+    exp = sorted(
+        ((_gumbel_key(i, wt), i) for i, wt in wrows.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:2]
+    got = dsir_resample(w, k=2).collect()
+    assert [(r["sample_key"], r["doc_id"]) for r in got] == exp
+    # k >= corpus: returns everything, still keyed
+    assert dsir_resample(w, k=100).count() == len(wrows)
+
+
+def test_dsir_resample_plan_is_take_ordered(docs):
+    from geomesa_spark.operators.scoring import dsir_resample, dsir_weights
+
+    d = docs.withColumn("is_target", F.col("doc_id") == 0)
+    plan = (
+        dsir_resample(dsir_weights(d), k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # no global sort exchange
+
+
+def test_dsir_resample_validation(docs):
+    from geomesa_spark.operators.scoring import dsir_resample, dsir_weights
+
+    w = dsir_weights(docs.withColumn("is_target", F.lit(True)))
+    with pytest.raises(ValueError):
+        dsir_resample(w, k=0)
+    with pytest.raises(ValueError):
+        dsir_resample(w, k=1, temperature=0.0)
