@@ -1511,6 +1511,93 @@ def _q_cap_domain(spark, sf_dir):
     return cap_per_group(p, "host", "n_chars", "doc_id", 2)
 
 
+def _host_links(spark, sf_dir):
+    """Page-level outlink table for the web-graph family: every crawled
+    page (group ``g = doc_id // 3`` on host ``site{g%997}.example``)
+    links to three deterministic targets ``(h*31 + j*97 + g%13) % 997``
+    (j = 1..3); hosts with ``h % 11 == 3`` emit nothing, so they enter
+    the graph purely as link targets — the dangling-node population
+    PageRank has to redistribute. Pure integer codegen; the DuckDB twin
+    rebuilds the identical rows arithmetically (FIXTURES.md F1 style)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = F.floor(F.col("doc_id") / 3).cast("long")
+    h = (g % 997).alias("h")
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    pages = docs.select(F.col("doc_id"), g.alias("g"), h).filter(
+        F.col("h") % 11 != 3
+    )
+    return pages.select("doc_id", "g", "h", j).select(
+        "doc_id",
+        F.format_string("site%d.example", F.col("h")).alias("src"),
+        F.format_string(
+            "site%d.example",
+            (F.col("h") * 31 + F.col("j") * 97 + F.col("g") % 13) % 997,
+        ).alias("dst"),
+    )
+
+
+def _q_link_graph(spark, sf_dir):
+    """Weighted host→host edge list (operators/webgraph.py host_graph)
+    from the deterministic outlink fixture: one map-side-combined hash
+    aggregate on (src, dst), self-loops dropped — the Common-Crawl
+    webgraph build step."""
+    from geomesa_spark.operators.webgraph import host_graph
+
+    return host_graph(_host_links(_utc(spark), sf_dir))
+
+
+def _q_host_degrees(spark, sf_dir):
+    """Per-host in/out degree + link mass (webgraph.degree_stats): a
+    single hash aggregation over a tagged union of the two edge
+    endpoints — no outer join, one shuffle keyed by host."""
+    from geomesa_spark.operators.webgraph import degree_stats, host_graph
+
+    return degree_stats(host_graph(_host_links(_utc(spark), sf_dir)))
+
+
+def _q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank, 4 iterations, d=0.85
+    (webgraph.pagerank). All rank arithmetic is int64 (shares are
+    ``rank DIV out_deg``, damping is ``(85*x) DIV 100``), so the sums
+    are associative and the result is bit-identical at any parallelism
+    — the oracle twin unrolls the same four iterations in SQL and
+    hash-matches exactly, dangling mass included."""
+    from geomesa_spark.operators.webgraph import host_graph, pagerank
+
+    edges = host_graph(_host_links(_utc(spark), sf_dir))
+    return pagerank(edges, iterations=4, damping_pct=85)
+
+
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality bands (scoring.ppl_buckets): the
+    lm_score surface joined back to the language column, then ntile(3)
+    per language ordered by (score DESC, doc_id) — the deterministic
+    tiebreak makes the equal-depth cut bit-reproducible. The threshold
+    path for web-scale skew is bucket_by_thresholds (pytest-pinned)."""
+    from geomesa_spark.operators.scoring import ppl_buckets, unigram_logprob
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text", "lang")
+    scored = unigram_logprob(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ppl_buckets(scored)
+
+
+def _q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain sampling weights, alpha=0.5
+    (corpus.domain_mixture) over the crawl-surface hosts: c^0.5 via the
+    IEEE-exact sqrt chain, fixed-pointed once per domain; both
+    normalizing sums are BIGINTs so every emitted double is a single
+    division of identical operands in Spark and the oracle."""
+    from geomesa_spark.functions.urls import url_host
+    from geomesa_spark.operators.corpus import domain_mixture
+
+    p = _url_pages(_utc(spark), sf_dir).select(
+        url_host(F.col("url")).alias("host")
+    )
+    return domain_mixture(p, "host", alpha=0.5)
+
+
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
 
 
@@ -1606,18 +1693,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_domain": _q_cap_domain,
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
+        # -- late-r5 web-graph + mixture family (brand new -> must be in
+        #    the checked window for a first green row) -------------------
+        "link_graph": _q_link_graph,
+        "host_degrees": _q_host_degrees,
+        "pagerank": _q_pagerank,
+        "ppl_buckets": _q_ppl_buckets,
+        "domain_mixture": _q_domain_mixture,
         # -- load-bearing, green in r4 (kept inside the checked window;
-        #    `density` and `or_union` — r4-green, untouched since — moved
-        #    to slot 51+ to make room for the DSIR pair) ----------------
-        "bbox": _q_bbox,
+        #    bbox/attr_filter_indexed/record_lookup/tube/dedup_exact —
+        #    r4-green, untouched since — moved to slot 51+ to make room
+        #    for the web-graph family) ----------------------------------
         "bbox_time_indexed": _q_bbox_time_indexed,
+        "knn": _q_knn,
+        "spatial_join_boxes": _q_spatial_join_boxes,
+        # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
+        "bbox": _q_bbox,
         "attr_filter_indexed": _q_attr_filter_indexed,
         "record_lookup": _q_record_lookup,
-        "knn": _q_knn,
         "tube": _q_tube,
-        "spatial_join_boxes": _q_spatial_join_boxes,
         "dedup_exact": _q_dedup_exact,
-        # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
         "density": _q_density,
         "or_union": _q_or_union,
         "bbox_indexed": _q_bbox_indexed,
@@ -2132,6 +2227,107 @@ def _mosaic_oracle() -> str:
 # md5-prefix bucket assignment, per-bucket Laplace log-ratios fixed-pointed
 # to BIGINT micro-units, exact integer per-doc sums — shared by the
 # dsir_weights oracle and (wrapped with the Gumbel key) dsir_resample's.
+# DuckDB twin of scoring.unigram_logprob (min_count=1), shared by the
+# lm_score and ppl_buckets oracles: full independent vocab-count +
+# Laplace smoothing + micro-unit fixed point; final per-doc surface in
+# CTE `lm`.
+_LM_CTE = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    vocab AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
+    tot AS (SELECT sum(c) AS tt, count(*) AS v FROM vocab),
+    lp AS (
+      SELECT t, CAST(round(
+               ln(CAST(c + 1 AS DOUBLE) / CAST(tt + v + 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lp
+      FROM vocab, tot
+    ),
+    fl AS (
+      SELECT CAST(round(
+               ln(1.0 / CAST(tt + v + 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS floor_lp
+      FROM tot
+    ),
+    lm AS (
+      SELECT occ.doc_id,
+             CAST(count(*) AS INTEGER) AS n_tokens,
+             CAST(sum(CASE WHEN lp.lp IS NULL THEN 1 ELSE 0 END)
+                  AS INTEGER) AS n_oov,
+             round(CAST(sum(coalesce(lp.lp, floor_lp)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 1000000.0, 4)
+               AS mean_logprob
+      FROM occ LEFT JOIN lp USING (t), fl
+      GROUP BY occ.doc_id
+    )
+"""
+
+
+# DuckDB twin of _host_links -> webgraph.host_graph: rebuilds the
+# deterministic outlink fixture arithmetically (3 targets per crawled
+# page, hosts h%11==3 silent), then the same self-loop-free (src,dst)
+# aggregation.
+_WEBGRAPH_CTE = """
+    WITH pg AS (
+      SELECT doc_id, doc_id // 3 AS g, (doc_id // 3) % 997 AS h
+      FROM documents
+    ),
+    links AS (
+      SELECT printf('site%d.example', h) AS src,
+             printf('site%d.example', (h * 31 + j * 97 + g % 13) % 997) AS dst
+      FROM pg CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
+      WHERE h % 11 <> 3
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+      FROM links WHERE src <> dst GROUP BY src, dst
+    )
+"""
+
+
+def _pagerank_oracle(iterations: int = 4, d: int = 85, scale: int = 10**12) -> str:
+    """Unrolled SQL twin of webgraph.pagerank: the same int64 update rule
+    (share = rank // out_deg, damping = (d*x) // 100, dangling mass // n)
+    iterated as chained CTEs — integer sums are associative, so this
+    hash-matches the engine bit-for-bit."""
+    base = f"(SELECT (({100 - d}) * {scale} // 100) // n FROM nn)"
+    sql = _WEBGRAPH_CTE + f"""
+    , pairs AS (SELECT DISTINCT src, dst FROM edges),
+    nodes AS (SELECT src AS host FROM pairs UNION SELECT dst AS host FROM pairs),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg
+           FROM pairs GROUP BY src),
+    r0 AS (SELECT host, CAST((SELECT {scale} // n FROM nn) AS BIGINT) AS r
+           FROM nodes)
+    """
+    for k in range(iterations):
+        sql += f"""
+    , dang{k} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dg
+                  FROM r{k} WHERE host NOT IN (SELECT host FROM od)),
+    c{k} AS (SELECT p.dst AS host, CAST(sum(r.r // o.out_deg) AS BIGINT) AS c
+             FROM pairs p JOIN r{k} r ON r.host = p.src
+                          JOIN od o ON o.host = p.src
+             GROUP BY p.dst),
+    r{k + 1} AS (SELECT n.host,
+                 CAST({base}
+                      + ({d} * (coalesce(c.c, 0)
+                                + (SELECT dg FROM dang{k})
+                                  // (SELECT n FROM nn))) // 100
+                      AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN c{k} c ON c.host = n.host)
+        """
+    sql += f"""
+    SELECT host, r AS rank_micro,
+           CAST(r AS DOUBLE) / {float(scale)!r} AS "rank"
+    FROM r{iterations}
+    """
+    return sql
+
+
 _DSIR_SQL = """
     WITH d AS (
       SELECT doc_id, (lang = 'en') AS tgt,
@@ -2942,37 +3138,79 @@ def oracle_sql() -> dict[str, str]:
         # independent vocab-count + Laplace smoothing + micro-unit
         # fixed-point; LEFT JOIN + floor mirrors the engine's OOV path
         # structurally even though nothing prunes at min_count=1
-        "lm_score": """
-            WITH d AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                 x -> x <> '') AS toks
+        "lm_score": _LM_CTE + """
+            SELECT doc_id, n_tokens, n_oov, mean_logprob FROM lm
+        """,
+        # twin of scoring.ppl_buckets over the lm_score surface: ntile's
+        # fill rule (earlier buckets take the remainder) is identical in
+        # Spark and DuckDB; the (score DESC, doc_id ASC) tiebreak makes
+        # the cut deterministic
+        "ppl_buckets": _LM_CTE + """
+            , lb AS (
+              SELECT lm.doc_id, d2.lang, lm.mean_logprob,
+                     CAST(ntile(3) OVER (
+                       PARTITION BY d2.lang
+                       ORDER BY lm.mean_logprob DESC, lm.doc_id ASC)
+                       AS INTEGER) AS bucket
+              FROM lm JOIN documents d2 USING (doc_id)
+            )
+            SELECT doc_id, lang, mean_logprob, bucket,
+                   CASE WHEN bucket = 1 THEN 'head'
+                        WHEN bucket = 2 THEN 'middle'
+                        ELSE 'tail' END AS label
+            FROM lb
+        """,
+        "link_graph": _WEBGRAPH_CTE + """
+            SELECT src, dst, n_links FROM edges
+        """,
+        # twin of webgraph.degree_stats: same tagged-union single agg
+        "host_degrees": _WEBGRAPH_CTE + """
+            , ends AS (
+              SELECT src AS host, 1 AS od, 0 AS idg,
+                     n_links AS ol, CAST(0 AS BIGINT) AS il
+              FROM edges
+              UNION ALL
+              SELECT dst, 0, 1, CAST(0 AS BIGINT), n_links FROM edges
+            )
+            SELECT host,
+                   CAST(sum(od) AS BIGINT) AS out_deg,
+                   CAST(sum(idg) AS BIGINT) AS in_deg,
+                   CAST(sum(ol) AS BIGINT) AS out_links,
+                   CAST(sum(il) AS BIGINT) AS in_links
+            FROM ends GROUP BY host
+        """,
+        "pagerank": _pagerank_oracle(iterations=4, d=85),
+        # twin of corpus.domain_mixture (alpha=0.5): host rebuilt
+        # arithmetically (url_host lowercases, so every surface variant
+        # of a host collapses to site{h}.example), sqrt is IEEE-exact in
+        # both engines, sums are BIGINT
+        "domain_mixture": """
+            WITH hosts AS (
+              SELECT printf('site%d.example', (doc_id // 3) % 997) AS host
               FROM documents
             ),
-            occ AS (SELECT doc_id, unnest(toks) AS t FROM d),
-            vocab AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
-            tot AS (SELECT sum(c) AS tt, count(*) AS v FROM vocab),
-            lp AS (
-              SELECT t, CAST(round(
-                       ln(CAST(c + 1 AS DOUBLE) / CAST(tt + v + 1 AS DOUBLE))
-                       * 1000000.0) AS BIGINT) AS lp
-              FROM vocab, tot
+            per AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+              FROM hosts GROUP BY host
             ),
-            fl AS (
-              SELECT CAST(round(
-                       ln(1.0 / CAST(tt + v + 1 AS DOUBLE))
-                       * 1000000.0) AS BIGINT) AS floor_lp
-              FROM tot
+            pw AS (
+              SELECT host, n_docs,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+                          AS BIGINT) AS weight_micro
+              FROM per
+            ),
+            tot AS (
+              SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+                     CAST(sum(weight_micro) AS BIGINT) AS tw
+              FROM pw
             )
-            SELECT occ.doc_id,
-                   CAST(count(*) AS INTEGER) AS n_tokens,
-                   CAST(sum(CASE WHEN lp.lp IS NULL THEN 1 ELSE 0 END)
-                        AS INTEGER) AS n_oov,
-                   round(CAST(sum(coalesce(lp.lp, floor_lp)) AS DOUBLE)
-                         / CAST(count(*) AS DOUBLE) / 1000000.0, 4)
-                     AS mean_logprob
-            FROM occ LEFT JOIN lp USING (t), fl
-            GROUP BY occ.doc_id
+            SELECT host, n_docs,
+                   CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE) AS share,
+                   weight_micro,
+                   CAST(weight_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS weight,
+                   (CAST(weight_micro AS DOUBLE) / CAST(tw AS DOUBLE))
+                     / (CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE)) AS boost
+            FROM pw, tot
         """,
         # twin of corpus.cap_per_group over the url crawl surface: the
         # global-window rank cut IS the spec the two-branch plan must equal

@@ -440,6 +440,9 @@ def _time_queries(spark) -> dict[str, float]:
         # appended r5 (new operators this round; same slot-stability rule)
         "span_dedup", "quality_filter", "pack_shards",
         "bm25", "lm_score", "cap_domain", "dsir_weights", "dsir_resample",
+        # appended late-r5 (web-graph + mixture family)
+        "link_graph", "host_degrees", "pagerank", "ppl_buckets",
+        "domain_mixture",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

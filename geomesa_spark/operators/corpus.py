@@ -247,3 +247,76 @@ def topk_tokens(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def _alpha_pow(col: Column, alpha: float) -> Column:
+    """``col ** alpha`` for dyadic alpha in {1, 0.5, 0.25, 0.125} via
+    repeated ``sqrt`` — IEEE 754 requires sqrt to be correctly rounded,
+    so (unlike ``pow``, whose libm error varies by engine) the chain is
+    bit-identical in Spark and any oracle engine."""
+    steps = {1.0: 0, 0.5: 1, 0.25: 2, 0.125: 3}
+    if alpha not in steps:
+        raise ValueError(
+            f"alpha={alpha}: only dyadic 1/2^k values (1, 0.5, 0.25, "
+            "0.125) keep the mixture bit-reproducible; arbitrary "
+            "exponents need pow(), whose last-ulp rounding is libm-"
+            "specific"
+        )
+    out = col.cast("double")
+    for _ in range(steps[alpha]):
+        out = F.sqrt(out)
+    return out
+
+
+def domain_mixture(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per domain/source — the
+    mixture step of GPT-3/Pile-style corpus assembly: raw share
+    ``c_i / Σc`` is flattened to ``c_i^alpha / Σ c_j^alpha`` so small
+    high-quality domains are upsampled relative to the crawl's natural
+    skew (alpha=1 keeps raw proportions; alpha→0 approaches uniform).
+
+    Output per domain: ``(group, n_docs, share, weight_micro, weight,
+    boost)`` where ``share`` is the raw proportion, ``weight`` the
+    temperature-scaled sampling probability, and ``boost`` =
+    weight/share (the effective up/down-sampling factor, i.e. epochs
+    per pass at a fixed token budget).
+
+    Determinism: ``c^alpha`` uses the repeated-sqrt chain (see
+    ``_alpha_pow``), fixed-pointed to integer micro-units ONCE per
+    domain; both normalizing sums are exact BIGINTs, so every emitted
+    double comes from one division of identical operands in any engine.
+
+    Scale shape: one map-side-combined hash aggregate keyed by the
+    domain (|domains| ~ 10^5-10^7 at web scale — the agg output fits
+    one executor), then a single-row total attached as a broadcast
+    cross-join. No window, no sort, no Python.
+    """
+    cnt = F.count("*") if size_col is None else F.sum(size_col)
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        cnt.cast("long").alias("n_docs")
+    )
+    per = per.withColumn(
+        "weight_micro",
+        F.floor(_alpha_pow(F.col("n_docs"), alpha) * F.lit(1_000_000.0)).cast("long"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("__tn"), F.sum("weight_micro").alias("__tw")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("__tn").cast("double")).alias("share"),
+        "weight_micro",
+        (F.col("weight_micro").cast("double") / F.col("__tw").cast("double")).alias(
+            "weight"
+        ),
+        (
+            (F.col("weight_micro").cast("double") / F.col("__tw").cast("double"))
+            / (F.col("n_docs").cast("double") / F.col("__tn").cast("double"))
+        ).alias("boost"),
+    )

@@ -530,3 +530,78 @@ def dsir_resample(
             ),
         )
     )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    score_col: str = "mean_logprob",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality bucketing: split each language's documents
+    into ``n_buckets`` equal-depth bands by LM score (descending — CCNet
+    labels the best-scoring third *head*, then *middle*, then *tail*,
+    Wenzek et al. 2020). Feed it ``unigram_logprob``'s output joined
+    with the language column.
+
+    Exact path (this function): ``ntile`` over a window partitioned by
+    language and ordered by ``(score DESC, id ASC)`` — the tiebreak
+    makes the cut deterministic, and NTILE's fill rule (earlier buckets
+    take the remainder) is the same in Spark and every SQL engine, so
+    the oracle hash-matches. Cost is one hash exchange on the language
+    plus an in-partition sort; with ~10^2 languages and web-scale skew
+    (English is ~half the corpus) the hot language serializes onto one
+    task, so at 10^12 rows use the threshold path instead:
+    ``corpus.group_percentiles`` gives exact per-language score cuts,
+    ``bucket_by_thresholds`` applies them as a broadcast join + codegen
+    comparison — no sort anywhere (the bands then split *at* the
+    threshold value rather than by row count, the CCNet semantics).
+
+    Returns ``(id, group, score, bucket int, label)`` with labels
+    head/middle/tail when ``n_buckets == 3``, else ``b<k>``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    b = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        label = (
+            F.when(b == 1, F.lit("head"))
+            .when(b == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.concat(F.lit("b"), b.cast("string"))
+    return scored.select(
+        id_col,
+        group_col,
+        score_col,
+        b.alias("bucket"),
+        label.alias("label"),
+    )
+
+
+def bucket_by_thresholds(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    score_col: str = "mean_logprob",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Sort-free bucket assignment for the 10^12-row path: ``thresholds``
+    carries one row per group ``(group, head_min, middle_min)`` (e.g.
+    the exact p67/p33 score cuts from ``corpus.group_percentiles``);
+    assignment is a broadcast join + two codegen comparisons. Documents
+    score >= head_min → head, >= middle_min → middle, else tail.
+    """
+    t = F.broadcast(thresholds)
+    s = F.col(score_col)
+    return scored.join(t, group_col).select(
+        *scored.columns,
+        F.when(s >= F.col("head_min"), F.lit("head"))
+        .when(s >= F.col("middle_min"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("label"),
+    )

@@ -1,0 +1,205 @@
+"""Host-level web-graph analytics: link aggregation, degrees, PageRank.
+
+Common-Crawl-scale curation ranks hosts by link authority (the public
+CC webgraph releases ship exactly this: host→host edges + PageRank /
+harmonic ranks) and uses the rank as a quality prior when sampling
+training data.  The reference engine has no graph operators, but its
+iterative-scan discipline (GeoMesa's kNN ring expansion,
+``KNearestNeighborSearchProcess.scala``: bounded rounds, per-round
+frontier-only shuffles) is the model here, the same way
+``operators/components.py`` applied it to connected components.
+
+Three operators:
+
+``host_graph``
+    page-level links → weighted host→host edge list.  One hash
+    aggregation on ``(src, dst)``; self-loops dropped.  At 10^12 pages
+    the (src,dst) key space is |hosts|^2-bounded (~10^9 for 10^5 hosts)
+    and partial aggregation collapses the page fanout map-side, so the
+    shuffle carries host-pair partials, not page rows.
+
+``degree_stats``
+    in/out degree + link counts per host in ONE aggregation: edges are
+    unioned as (host, is_out) tagged rows first, so there is a single
+    hash shuffle keyed by host instead of two aggs + an outer join.
+
+``pagerank``
+    fixed-iteration PageRank in **pure int64 fixed point**.  Total mass
+    is ``SCALE`` micro-units; each round a node's share is
+    ``rank // out_degree`` (integer division) and the damping step is
+    ``(d_pct * x) // 100``.  Integer sums are associative, so the
+    result is bit-identical regardless of partitioning, parallelism, or
+    engine — the DuckDB oracle unrolls the same iterations in SQL and
+    hash-matches exactly.  (Float PageRank can NOT be oracle-checked
+    this way: summation order changes the last ulp.)
+
+    Scale shape per iteration: one join ``edges ⋈ ranks`` on ``src``
+    (both sides pre-hash-partitioned on the key, the edge side persisted
+    once — the exchange is reused every round) and one hash agg keyed by
+    ``dst``; only ``(node, long)`` pairs shuffle, never adjacency lists.
+    Dangling mass is a one-scalar aggregate per round (same bounded
+    driver-scalar discipline as components' convergence check).
+    Lineage is truncated with ``localCheckpoint`` every few rounds so
+    plan depth stays O(1) — in a production run this would be a real
+    checkpoint to the Iceberg lineage table for mid-run resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1.0 of total rank mass, in micro-units
+_CHECKPOINT_EVERY = 4
+
+
+def host_graph(links: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Aggregate page-level links into a weighted host edge list.
+
+    Returns ``(src, dst, n_links bigint)`` with self-loops removed.
+    """
+    return (
+        links.filter(F.col(src_col) != F.col(dst_col))
+        .groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-host degree summary from a weighted edge list.
+
+    Input ``(src, dst, n_links)``; output one row per host appearing on
+    either side: ``(host, out_deg, in_deg, out_links, in_links)``.
+    Single hash aggregation over a tagged union — no outer join.
+    """
+    out_side = edges.select(
+        F.col("src").alias("host"),
+        F.lit(1).alias("__od"),
+        F.lit(0).alias("__id"),
+        F.col("n_links").alias("__ol"),
+        F.lit(0).cast("long").alias("__il"),
+    )
+    in_side = edges.select(
+        F.col("dst").alias("host"),
+        F.lit(0).alias("__od"),
+        F.lit(1).alias("__id"),
+        F.lit(0).cast("long").alias("__ol"),
+        F.col("n_links").alias("__il"),
+    )
+    return (
+        out_side.unionByName(in_side)
+        .groupBy("host")
+        .agg(
+            F.sum("__od").cast("long").alias("out_deg"),
+            F.sum("__id").cast("long").alias("in_deg"),
+            F.sum("__ol").cast("long").alias("out_links"),
+            F.sum("__il").cast("long").alias("in_links"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping_pct: int = 85,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a host edge list.
+
+    ``edges`` is ``(src, dst, ...)``; edge weights are ignored (each
+    distinct src→dst pair counts once, matching the classic unweighted
+    formulation the Common Crawl ranks use).  Returns
+    ``(host, rank_micro bigint, rank double)`` where ``rank`` is
+    ``rank_micro / SCALE`` — one division from identical operands, so it
+    is reproducible bit-for-bit in any IEEE engine.
+
+    Update rule per iteration, all in int64 (``//`` = integer division):
+
+        share(u)   = rank(u) // out_deg(u)
+        contrib(v) = Σ_{u→v} share(u)
+        dang       = Σ_{out_deg(u)=0} rank(u)
+        rank'(v)   = ((100-d) * SCALE // 100) // n
+                     + (d * (contrib(v) + dang // n)) // 100
+
+    Mass lost to integer truncation stays lost (deterministically);
+    ranks are lower bounds within n/SCALE of the rational fixpoint
+    iterate, identical across engines and partitionings.
+    """
+    spark = edges.sparkSession
+    nparts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    pairs = edges.select("src", "dst").distinct()
+    nodes = (
+        pairs.select(F.col("src").alias("host"))
+        .unionByName(pairs.select(F.col("dst").alias("host")))
+        .distinct()
+        .repartition(nparts, "host")
+        .persist()
+    )
+    n = nodes.count()  # bounded scalar: |hosts|, needed for the base term
+    if n == 0:
+        return nodes.select(
+            F.col("host"),
+            F.lit(0).cast("long").alias("rank_micro"),
+            F.lit(0.0).alias("rank"),
+        )
+
+    outdeg = pairs.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").alias("out_deg")
+    )
+    # src-keyed adjacency with out_deg attached once; persisted so the
+    # hash partitioning on src is produced once and reused every round.
+    adj = (
+        pairs.join(outdeg, pairs["src"] == outdeg["host"])
+        .select("src", "dst", "out_deg")
+        .repartition(nparts, "src")
+        .persist()
+    )
+    danglers = nodes.join(
+        outdeg.select(F.col("host")), "host", "left_anti"
+    ).persist()
+
+    d = int(damping_pct)
+    base = ((100 - d) * SCALE // 100) // n
+
+    ranks = nodes.select("host", F.lit(SCALE // n).cast("long").alias("rank_micro"))
+    for it in range(iterations):
+        dang = (
+            danglers.join(ranks, "host")
+            .agg(F.sum("rank_micro"))
+            .collect()[0][0]
+            or 0
+        )  # one scalar per round
+        contribs = (
+            adj.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select(
+                "dst",
+                # int64 DIV — never a double division: quotients and the
+                # damping product below exceed 2^53, where float would
+                # round across integer boundaries nondeterministically
+                F.expr("rank_micro DIV out_deg").alias("__s"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__s").alias("__c"))
+        )
+        dang_share = int(dang) // n
+        ranks = (
+            nodes.join(contribs, nodes["host"] == contribs["dst"], "left")
+            .select(
+                "host",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + "
+                    f"(CAST({d} AS BIGINT) * (coalesce(__c, CAST(0 AS BIGINT)) "
+                    f"+ CAST({dang_share} AS BIGINT))) DIV 100"
+                ).alias("rank_micro"),
+            )
+        )
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+
+    out = ranks.select(
+        "host",
+        "rank_micro",
+        (F.col("rank_micro").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )
+    return out

@@ -55,6 +55,11 @@ FORBID = {
     # the top-k must be TakeOrderedAndProject (per-task partial top-k),
     # never a range-partitioned global sort
     "dsir_resample": ["SortMergeJoin", "Exchange rangepartitioning"],
+    # pure-aggregation web-graph surfaces: any join or window means the
+    # single-hash-agg shape regressed
+    "link_graph": ["SortMergeJoin", "Window", "Exchange rangepartitioning"],
+    "host_degrees": ["SortMergeJoin", "Window", "Exchange rangepartitioning"],
+    "domain_mixture": ["SortMergeJoin", "Window", "Exchange rangepartitioning"],
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: their build
@@ -64,7 +69,8 @@ FORBID = {
 # nested-loop — which for one build row is exactly a broadcast variable,
 # zero loop cost. Everywhere else BNLJ stays a BAD flag (it means an
 # accidental cartesian over real relations).
-ALLOW_BNLJ = {"bm25", "lm_score", "dsir_weights", "dsir_resample"}
+ALLOW_BNLJ = {"bm25", "lm_score", "dsir_weights", "dsir_resample",
+              "domain_mixture", "ppl_buckets"}
 
 AUDIT = [
     # name -> what the plan must show
@@ -99,6 +105,12 @@ AUDIT = [
     ("cap_domain", "broadcast anti/semi split; WindowGroupLimit partial top-n before the over-slice exchange"),
     ("dsir_weights", "bucket agg bounded by 16^3; log-ratio broadcast; ONE doc-keyed exchange"),
     ("dsir_resample", "codegen Gumbel key + TakeOrdered partial top-k; no global sort"),
+    # late-r5 web-graph + mixture family
+    ("link_graph", "ONE map-side-combined hash aggregate on (src,dst); no join"),
+    ("host_degrees", "tagged union -> ONE host-keyed hash aggregate; no outer join"),
+    ("pagerank", "per-round (node,long) equi-joins + dst-keyed agg; int64 DIV codegen; no cartesian"),
+    ("ppl_buckets", "lang-partitioned ntile window (exact path); vocab broadcast from lm_score"),
+    ("domain_mixture", "ONE domain-keyed hash aggregate + single-row totals broadcast; no sort"),
 ]
 
 FLAGS = [

@@ -1,0 +1,113 @@
+"""Web-graph family: host_graph / degree_stats / pagerank, plus the
+round-5 mixture + bucketing additions (domain_mixture, ppl_buckets,
+bucket_by_thresholds)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.corpus import domain_mixture
+from geomesa_spark.operators.scoring import bucket_by_thresholds, ppl_buckets
+from geomesa_spark.operators.webgraph import SCALE, degree_stats, host_graph, pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, n_links long")
+
+
+def test_host_graph_aggregates_and_drops_self_loops(spark):
+    links = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")],
+        "src string, dst string",
+    )
+    got = {(r.src, r.dst): r.n_links for r in host_graph(links).collect()}
+    assert got == {("a", "b"): 2, ("b", "c"): 1}
+
+
+def test_degree_stats_single_agg(spark):
+    e = _edges(spark, [("a", "b", 3), ("a", "c", 1), ("b", "a", 2)])
+    got = {r.host: r for r in degree_stats(e).collect()}
+    assert (got["a"].out_deg, got["a"].in_deg) == (2, 1)
+    assert (got["a"].out_links, got["a"].in_links) == (4, 2)
+    assert (got["c"].out_deg, got["c"].in_deg) == (0, 1)
+
+
+def test_pagerank_one_iteration_exact_fixed_point(spark):
+    # A -> {B, C}, B -> {A}, C dangling.  n=3, r0 = SCALE // 3.
+    # Hand-rolled int64 update (see webgraph.pagerank docstring):
+    #   dang = 333333333333, dang // 3 = 111111111111
+    #   base = ((15 * SCALE) // 100) // 3 = 50000000000
+    #   r1(A) = base + (85 * (333333333333 + 111111111111)) // 100
+    #   r1(B) = r1(C) = base + (85 * (166666666666 + 111111111111)) // 100
+    e = _edges(spark, [("A", "B", 1), ("A", "C", 1), ("B", "A", 1)])
+    got = {r.host: r.rank_micro for r in pagerank(e, iterations=1).collect()}
+    assert got == {"A": 427777777777, "B": 286111111110, "C": 286111111110}
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    e = _edges(
+        spark,
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("d", "a", 1), ("a", "d", 1)],
+    )
+    r4 = pagerank(e, iterations=4)
+    total = r4.agg(F.sum("rank_micro")).collect()[0][0]
+    # integer truncation only loses mass, never invents it; losses are
+    # bounded by (iterations * n * (1 + damping rounding)) micro-units
+    assert total <= SCALE
+    assert total >= SCALE - 4 * 4 * 200
+    # bit-identical across parallelism (the associativity claim)
+    a = sorted(map(tuple, r4.collect()))
+    b = sorted(map(tuple, pagerank(e.repartition(7), iterations=4).collect()))
+    assert a == b
+
+
+def test_pagerank_empty_graph(spark):
+    e = _edges(spark, []).filter("1=0")
+    assert pagerank(e, iterations=2).count() == 0
+
+
+def test_domain_mixture_sqrt_flattening(spark):
+    df = spark.createDataFrame(
+        [("big",)] * 16 + [("small",)] * 4, "host string"
+    )
+    got = {r.host: r for r in domain_mixture(df, "host", alpha=0.5).collect()}
+    assert got["big"].n_docs == 16 and got["small"].n_docs == 4
+    # sqrt weights: 4e6 and 2e6 micro-units -> weights 2/3 and 1/3
+    assert got["big"].weight_micro == 4_000_000
+    assert got["small"].weight_micro == 2_000_000
+    assert abs(got["big"].weight - 2 / 3) < 1e-12
+    # flattening: big's boost < 1 < small's boost
+    assert got["big"].boost < 1.0 < got["small"].boost
+    # alpha=1 keeps raw shares (boost == 1 everywhere)
+    raw = domain_mixture(df, "host", alpha=1.0).collect()
+    assert all(abs(r.boost - 1.0) < 1e-12 for r in raw)
+
+
+def test_domain_mixture_rejects_non_dyadic_alpha(spark):
+    df = spark.createDataFrame([("x",)], "host string")
+    with pytest.raises(ValueError, match="dyadic"):
+        domain_mixture(df, "host", alpha=0.3).collect()
+
+
+def test_ppl_buckets_equal_depth_and_labels(spark):
+    rows = [Row(doc_id=i, lang="en", mean_logprob=-float(i)) for i in range(9)]
+    rows += [Row(doc_id=100 + i, lang="fr", mean_logprob=-float(i)) for i in range(4)]
+    got = ppl_buckets(spark.createDataFrame(rows)).collect()
+    en = {r.doc_id: r.label for r in got if r.lang == "en"}
+    # scores descend with doc_id: best 3 head, worst 3 tail
+    assert [en[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    fr = {r.doc_id: r.label for r in got if r.lang == "fr"}
+    # ntile(3) over 4 rows: first bucket takes the remainder
+    assert [fr[100 + i] for i in range(4)] == ["head", "head", "middle", "tail"]
+
+
+def test_bucket_by_thresholds_matches_cuts(spark):
+    scored = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", mean_logprob=s)
+         for i, s in enumerate([-1.0, -2.0, -3.0, -4.0])]
+    )
+    th = spark.createDataFrame(
+        [Row(lang="en", head_min=-1.5, middle_min=-3.5)]
+    )
+    got = {r.doc_id: r.label for r in bucket_by_thresholds(scored, th).collect()}
+    assert got == {0: "head", 1: "middle", 2: "middle", 3: "tail"}
