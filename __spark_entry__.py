@@ -1598,6 +1598,36 @@ def _q_domain_mixture(spark, sf_dir):
     return domain_mixture(p, "host", alpha=0.5)
 
 
+def _q_crawl_delta(spark, sf_dir):
+    """Crawl-snapshot diff (operators/delta.py crawl_delta): two
+    deterministic snapshots of the corpus — `old` drops doc_id%17==0,
+    `new` drops doc_id%19==0 and mutates the text of doc_id%13==0 — are
+    diffed by url with md5 content fingerprints into
+    added/removed/changed/unchanged. One full-outer equi-join on the
+    unique url key; only (url, fp) pairs shuffle, never page bytes."""
+    from geomesa_spark.operators.delta import crawl_delta
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    url = F.format_string(
+        "https://site%d.example/p/%d",
+        F.floor(did / 3).cast("long") % 997,
+        did,
+    )
+    old = docs.filter(did % 17 != 0).select(
+        url.alias("url"), F.md5(F.col("text")).alias("fingerprint")
+    )
+    new = docs.filter(did % 19 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.when(did % 13 == 0, F.concat(F.col("text"), F.lit("~v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fingerprint"),
+    )
+    return crawl_delta(old, new)
+
+
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
 
 
@@ -1700,14 +1730,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "ppl_buckets": _q_ppl_buckets,
         "domain_mixture": _q_domain_mixture,
+        "crawl_delta": _q_crawl_delta,
         # -- load-bearing, green in r4 (kept inside the checked window;
-        #    bbox/attr_filter_indexed/record_lookup/tube/dedup_exact —
-        #    r4-green, untouched since — moved to slot 51+ to make room
-        #    for the web-graph family) ----------------------------------
+        #    bbox/attr_filter_indexed/record_lookup/tube/dedup_exact/
+        #    spatial_join_boxes — r4-green, untouched since — moved to
+        #    slot 51+ to make room for the web-graph/delta family) ------
         "bbox_time_indexed": _q_bbox_time_indexed,
         "knn": _q_knn,
-        "spatial_join_boxes": _q_spatial_join_boxes,
         # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
+        "spatial_join_boxes": _q_spatial_join_boxes,
         "bbox": _q_bbox,
         "attr_filter_indexed": _q_attr_filter_indexed,
         "record_lookup": _q_record_lookup,
@@ -3180,6 +3211,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ends GROUP BY host
         """,
         "pagerank": _pagerank_oracle(iterations=4, d=85),
+        # twin of operators.delta.crawl_delta over the two deterministic
+        # snapshots: same drop/mutate arithmetic, same full-outer
+        # classification
+        "crawl_delta": """
+            WITH o AS (
+              SELECT printf('https://site%d.example/p/%d',
+                            (doc_id // 3) % 997, doc_id) AS url,
+                     md5(text) AS old_fp
+              FROM documents WHERE doc_id % 17 <> 0
+            ),
+            n AS (
+              SELECT printf('https://site%d.example/p/%d',
+                            (doc_id // 3) % 997, doc_id) AS url,
+                     md5(CASE WHEN doc_id % 13 = 0 THEN text || '~v2'
+                              ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 19 <> 0
+            )
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp, n.new_fp
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
         # twin of corpus.domain_mixture (alpha=0.5): host rebuilt
         # arithmetically (url_host lowercases, so every surface variant
         # of a host collapses to site{h}.example), sqrt is IEEE-exact in

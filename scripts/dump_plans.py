@@ -111,6 +111,7 @@ AUDIT = [
     ("pagerank", "per-round (node,long) equi-joins + dst-keyed agg; int64 DIV codegen; no cartesian"),
     ("ppl_buckets", "lang-partitioned ntile window (exact path); vocab broadcast from lm_score"),
     ("domain_mixture", "ONE domain-keyed hash aggregate + single-row totals broadcast; no sort"),
+    ("crawl_delta", "ONE full-outer equi-join on the unique url key; (url,fp) pairs only; no window"),
 ]
 
 FLAGS = [

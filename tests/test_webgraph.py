@@ -111,3 +111,19 @@ def test_bucket_by_thresholds_matches_cuts(spark):
     )
     got = {r.doc_id: r.label for r in bucket_by_thresholds(scored, th).collect()}
     assert got == {0: "head", 1: "middle", 2: "middle", 3: "tail"}
+
+
+def test_crawl_delta_classification(spark):
+    from geomesa_spark.operators.delta import crawl_delta, delta_counts
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", "B"), ("u4", "d")], "url string, fingerprint string"
+    )
+    d = crawl_delta(old, new)
+    got = {r.url: r.status for r in d.collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"}
+    counts = {r.status: r.n for r in delta_counts(d).collect()}
+    assert counts == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
