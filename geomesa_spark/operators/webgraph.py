@@ -37,11 +37,11 @@ Three operators:
     (both sides pre-hash-partitioned on the key, the edge side persisted
     once — the exchange is reused every round) and one hash agg keyed by
     ``dst``; only ``(node, long)`` pairs shuffle, never adjacency lists.
-    Dangling mass is a one-scalar aggregate per round (same bounded
-    driver-scalar discipline as components' convergence check).
-    Lineage is truncated with ``localCheckpoint`` every few rounds so
-    plan depth stays O(1) — in a production run this would be a real
-    checkpoint to the Iceberg lineage table for mid-run resume.
+    Dangling mass is a lazy single-row aggregate attached back by
+    broadcast (never a driver collect).  Lineage is truncated with
+    ``localCheckpoint`` every round so plan depth stays O(1) — in a
+    production run this would be a real checkpoint to the Iceberg
+    lineage table for mid-run resume.
 """
 
 from __future__ import annotations
@@ -50,7 +50,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000  # 1.0 of total rank mass, in micro-units
-_CHECKPOINT_EVERY = 4
 
 
 def host_graph(links: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
@@ -164,12 +163,13 @@ def pagerank(
 
     ranks = nodes.select("host", F.lit(SCALE // n).cast("long").alias("rank_micro"))
     for it in range(iterations):
+        # dangling mass as a lazy 1-row aggregate attached by broadcast —
+        # never a driver collect (a per-round collect would re-run the
+        # whole rank lineage as a separate job every iteration)
         dang = (
             danglers.join(ranks, "host")
-            .agg(F.sum("rank_micro"))
-            .collect()[0][0]
-            or 0
-        )  # one scalar per round
+            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).cast("long").alias("__dg"))
+        )
         contribs = (
             adj.join(ranks.withColumnRenamed("host", "src"), "src")
             .select(
@@ -182,19 +182,26 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__s").alias("__c"))
         )
-        dang_share = int(dang) // n
         ranks = (
             nodes.join(contribs, nodes["host"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "host",
                 F.expr(
                     f"CAST({base} AS BIGINT) + "
                     f"(CAST({d} AS BIGINT) * (coalesce(__c, CAST(0 AS BIGINT)) "
-                    f"+ CAST({dang_share} AS BIGINT))) DIV 100"
+                    f"+ __dg DIV CAST({n} AS BIGINT))) DIV 100"
                 ).alias("rank_micro"),
             )
         )
-        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+        # per-round lineage truncation: the dangling and contribution
+        # branches BOTH read `ranks`, so an unchecked plan doubles per
+        # iteration (2^k copies of round 0 — measured 115s vs ~5s at
+        # 480 hosts / 4 rounds). Materializing (host, long) each round
+        # is the standard Pregel discipline; a production run
+        # checkpoints this to the Iceberg lineage table for mid-run
+        # resume.
+        if it + 1 < iterations:
             ranks = ranks.localCheckpoint()
 
     out = ranks.select(

@@ -70,7 +70,7 @@ FORBID = {
 # zero loop cost. Everywhere else BNLJ stays a BAD flag (it means an
 # accidental cartesian over real relations).
 ALLOW_BNLJ = {"bm25", "lm_score", "dsir_weights", "dsir_resample",
-              "domain_mixture", "ppl_buckets"}
+              "domain_mixture", "ppl_buckets", "pagerank"}
 
 AUDIT = [
     # name -> what the plan must show
