@@ -1628,6 +1628,27 @@ def _q_crawl_delta(spark, sf_dir):
     return crawl_delta(old, new)
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Unicode/whitespace normalization (textclean.normalize_text) over
+    a corpus with planted NFD combining sequences, control characters,
+    and whitespace runs (suffix keyed by doc_id%4). NFC is the one
+    Arrow stage; strip/collapse/trim are codegen twins of the DuckDB
+    nfc_normalize + regexp_replace chain."""
+    from geomesa_spark.operators.textclean import normalize_text
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 4 == 0, F.lit("  resume\u0301\t"))
+        .when(did % 4 == 1, F.lit(" ctrl\x07X"))
+        .when(did % 4 == 3, F.lit("  double  space  "))
+        .otherwise(F.lit(""))
+    )
+    return normalize_text(
+        docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    )
+
+
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
 
 
@@ -1731,13 +1752,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _q_ppl_buckets,
         "domain_mixture": _q_domain_mixture,
         "crawl_delta": _q_crawl_delta,
+        "normalize_text": _q_normalize_text,
         # -- load-bearing, green in r4 (kept inside the checked window;
         #    bbox/attr_filter_indexed/record_lookup/tube/dedup_exact/
-        #    spatial_join_boxes — r4-green, untouched since — moved to
-        #    slot 51+ to make room for the web-graph/delta family) ------
+        #    spatial_join_boxes/knn — r4-green, untouched since — moved
+        #    to slot 51+ to make room for the web-graph/delta family) ---
         "bbox_time_indexed": _q_bbox_time_indexed,
-        "knn": _q_knn,
         # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
+        "knn": _q_knn,
         "spatial_join_boxes": _q_spatial_join_boxes,
         "bbox": _q_bbox,
         "attr_filter_indexed": _q_attr_filter_indexed,
@@ -3211,6 +3233,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ends GROUP BY host
         """,
         "pagerank": _pagerank_oracle(iterations=4, d=85),
+        # twin of textclean.normalize_text over the planted-suffix corpus:
+        # DuckDB nfc_normalize (utf8proc) and CPython unicodedata both
+        # implement standard NFC; the regex chain is the same Java/RE2
+        # common subset the engine uses
+        "normalize_text": r"""
+            WITH raw AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 4 = 0
+                       THEN '  resum' || chr(101) || chr(769) || chr(9)
+                     WHEN doc_id % 4 = 1 THEN ' ctrl' || chr(7) || 'X'
+                     WHEN doc_id % 4 = 3 THEN '  double  space  '
+                     ELSE '' END AS raw
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, raw,
+                     trim(regexp_replace(
+                       regexp_replace(nfc_normalize(raw),
+                                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]',
+                                      '', 'g'),
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm_text
+              FROM raw
+            )
+            SELECT doc_id, norm_text, (norm_text <> raw) AS changed FROM n
+        """,
         # twin of operators.delta.crawl_delta over the two deterministic
         # snapshots: same drop/mutate arithmetic, same full-outer
         # classification

@@ -19,6 +19,8 @@ cleanup that runs right after text extraction):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -326,4 +328,55 @@ def remove_boilerplate(
                 "n_lines_removed"
             ),
         )
+    )
+
+
+# control chars (minus \t\n\r, which the whitespace pass handles) —
+# written in the Java-regex / RE2 common subset
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# explicit class, NOT \s: Java's \s includes \x0B, RE2's does not
+_WS_RE = r"[ \t\n\r\f\x0B]+"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ftfy-lite unicode/whitespace normalization — the canonical first
+    cleaning stage after extraction: NFC-compose combining sequences
+    (so `e` + U+0301 and precomposed `é` dedupe/fingerprint the same),
+    strip control characters, collapse whitespace runs, trim.
+
+    The ONLY Python stage is the NFC step (Spark has no built-in
+    normalizer): one Arrow-batched ``pandas_udf`` over the text column —
+    vectorized transfer, per-batch ``unicodedata.normalize``, no
+    per-row pickling. Control-strip + whitespace-collapse + trim stay
+    whole-stage codegen around it, and both regexes are written in the
+    Java-regex / RE2 common subset so the DuckDB twin
+    (``nfc_normalize`` + the same two ``regexp_replace``) matches
+    byte-for-byte. Zero shuffles; trivially scale-safe.
+
+    Returns ``(id, norm_text, changed boolean)``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: t if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    raw = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(raw), _CTRL_RE, ""), _WS_RE, " "
+        )
+    )
+    return df.select(
+        id_col,
+        norm.alias("norm_text"),
+        (norm != raw).alias("changed"),
     )

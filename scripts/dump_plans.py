@@ -112,6 +112,7 @@ AUDIT = [
     ("ppl_buckets", "lang-partitioned ntile window (exact path); vocab broadcast from lm_score"),
     ("domain_mixture", "ONE domain-keyed hash aggregate + single-row totals broadcast; no sort"),
     ("crawl_delta", "ONE full-outer equi-join on the unique url key; (url,fp) pairs only; no window"),
+    ("normalize_text", "ONE ArrowEvalPython (NFC) inside a codegen regex chain; ZERO shuffles"),
 ]
 
 FLAGS = [

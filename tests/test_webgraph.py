@@ -127,3 +127,23 @@ def test_crawl_delta_classification(spark):
     assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"}
     counts = {r.status: r.n for r in delta_counts(d).collect()}
     assert counts == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    import unicodedata
+
+    from geomesa_spark.operators.textclean import normalize_text
+
+    rows = [
+        (0, "caf" + "é"),          # NFD -> precomposed é
+        (1, "a\x07b\x00c"),               # control chars stripped
+        (2, "  x \t\n y  "),              # runs collapsed + trimmed
+        (3, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert got[0].norm_text == "café" == unicodedata.normalize("NFC", rows[0][1])
+    assert got[0].changed
+    assert got[1].norm_text == "abc" and got[1].changed
+    assert got[2].norm_text == "x y" and got[2].changed
+    assert got[3].norm_text == "plain" and not got[3].changed
