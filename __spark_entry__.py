@@ -1649,6 +1649,20 @@ def _q_normalize_text(spark, sf_dir):
     )
 
 
+_BADWORDS = ["slow", "null", "error"]  # stand-in for the C4 obscenity list
+
+
+def _q_badwords(spark, sf_dir):
+    """C4-style banned-word filter (textclean.badwords_filter, flag
+    mode) with a 3-word stand-in lexicon drawn from the fixture
+    vocabulary: distinct-word hit count + verdict per doc, zero-shuffle
+    codegen (literal-array intersect over the standard tokenizer)."""
+    from geomesa_spark.operators.textclean import badwords_filter
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text")
+    return badwords_filter(docs, _BADWORDS)
+
+
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
 
 
@@ -1753,12 +1767,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _q_domain_mixture,
         "crawl_delta": _q_crawl_delta,
         "normalize_text": _q_normalize_text,
-        # -- load-bearing, green in r4 (kept inside the checked window;
-        #    bbox/attr_filter_indexed/record_lookup/tube/dedup_exact/
-        #    spatial_join_boxes/knn — r4-green, untouched since — moved
-        #    to slot 51+ to make room for the web-graph/delta family) ---
+        "badwords": _q_badwords,
+        # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged
+        #      since; the r4-green load-bearing block — bbox,
+        #      bbox_time_indexed, attr_filter_indexed, record_lookup,
+        #      knn, tube, spatial_join_boxes, dedup_exact — moved here
+        #      to make room for the 8 late-r5 additions) ---------------
         "bbox_time_indexed": _q_bbox_time_indexed,
-        # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged since) --
         "knn": _q_knn,
         "spatial_join_boxes": _q_spatial_join_boxes,
         "bbox": _q_bbox,
@@ -3233,6 +3248,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ends GROUP BY host
         """,
         "pagerank": _pagerank_oracle(iterations=4, d=85),
+        # twin of textclean.badwords_filter (flag mode): distinct lexicon
+        # hits via list_distinct/list_filter mirroring array_intersect
+        "badwords": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_distinct(list_filter(toks,
+                     x -> list_contains(['error', 'null', 'slow'], x))))
+                     AS INTEGER) AS n_bad,
+                   len(list_distinct(list_filter(toks,
+                     x -> list_contains(['error', 'null', 'slow'], x)))) > 0
+                     AS flagged
+            FROM d
+        """,
         # twin of textclean.normalize_text over the planted-suffix corpus:
         # DuckDB nfc_normalize (utf8proc) and CPython unicodedata both
         # implement standard NFC; the regex chain is the same Java/RE2

@@ -442,7 +442,7 @@ def _time_queries(spark) -> dict[str, float]:
         "bm25", "lm_score", "cap_domain", "dsir_weights", "dsir_resample",
         # appended late-r5 (web-graph + mixture family)
         "link_graph", "host_degrees", "pagerank", "ppl_buckets",
-        "domain_mixture", "crawl_delta", "normalize_text",
+        "domain_mixture", "crawl_delta", "normalize_text", "badwords",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

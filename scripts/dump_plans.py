@@ -113,6 +113,7 @@ AUDIT = [
     ("domain_mixture", "ONE domain-keyed hash aggregate + single-row totals broadcast; no sort"),
     ("crawl_delta", "ONE full-outer equi-join on the unique url key; (url,fp) pairs only; no window"),
     ("normalize_text", "ONE ArrowEvalPython (NFC) inside a codegen regex chain; ZERO shuffles"),
+    ("badwords", "literal-array intersect in ONE WholeStageCodegen map; ZERO shuffles, no Python"),
 ]
 
 FLAGS = [

@@ -147,3 +147,22 @@ def test_normalize_text_nfc_controls_whitespace(spark):
     assert got[1].norm_text == "abc" and got[1].changed
     assert got[2].norm_text == "x y" and got[2].changed
     assert got[3].norm_text == "plain" and not got[3].changed
+
+
+def test_badwords_filter_distinct_word_boundary(spark):
+    from geomesa_spark.operators.textclean import badwords_filter
+
+    df = spark.createDataFrame(
+        [
+            (0, "a bad word bad twice"),     # dup lexicon word counts once
+            (1, "badge scraper clean"),      # substring must NOT match
+            (2, "bad worse"),                # two distinct hits
+            (3, "spotless"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bad, r.flagged)
+           for r in badwords_filter(df, ["bad", "worse"]).collect()}
+    assert got == {0: (1, True), 1: (0, False), 2: (2, True), 3: (0, False)}
+    kept = {r.doc_id for r in badwords_filter(df, ["bad", "worse"], mode="drop").collect()}
+    assert kept == {1, 3}
