@@ -3282,11 +3282,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             n AS (
               SELECT doc_id, raw,
-                     trim(regexp_replace(
-                       regexp_replace(nfc_normalize(raw),
-                                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]',
-                                      '', 'g'),
-                       '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm_text
+                     nfc_normalize(trim(regexp_replace(regexp_replace(raw,
+                       '[\x00-\x08\x0E-\x1F\x7F-\x84\x86-\x9F]',
+                       '', 'g'),
+                       '[ \t\n\r\f\x0B\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+                       ' ', 'g')))
+                       AS norm_text
               FROM raw
             )
             SELECT doc_id, norm_text, (norm_text <> raw) AS changed FROM n

@@ -331,11 +331,19 @@ def remove_boilerplate(
     )
 
 
-# control chars (minus \t\n\r, which the whitespace pass handles) —
-# written in the Java-regex / RE2 common subset
-_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
-# explicit class, NOT \s: Java's \s includes \x0B, RE2's does not
-_WS_RE = r"[ \t\n\r\f\x0B]+"
+# C0 + DEL + C1 controls, EXCLUDING the whitespace-ish ones the collapse
+# pass maps to a space (\t\n\x0B\f\r and NEL U+0085 — removing those
+# would merge words). C1 controls are the classic cp1252-mojibake
+# artifacts. Written in the Java-regex / RE2 common subset.
+_CTRL_RE = "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x84\\x86-\\x9F]"
+# the full Unicode whitespace set as an EXPLICIT class (neither engine's
+# \s covers it: Java's \s is ASCII-only, RE2's omits \x0B) — ASCII ws,
+# NEL, NBSP, ogham, the U+2000 block, line/para separators, narrow
+# no-break, medium math, ideographic space
+_WS_RE = (
+    "[ \t\n\r\f\x0b\u0085\u00a0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
 
 
 def normalize_text(
@@ -357,6 +365,15 @@ def normalize_text(
     (``nfc_normalize`` + the same two ``regexp_replace``) matches
     byte-for-byte. Zero shuffles; trivially scale-safe.
 
+    Stage order matters and is part of the contract: controls are
+    stripped FIRST (so ``a \\x01 b`` can still collapse to one space),
+    whitespace (the full Unicode set, incl. NBSP/NEL — mapped to a
+    plain space, never removed, so words don't merge) collapses second,
+    and NFC runs LAST — a stripped control can sit between a base and a
+    combining mark, so normalizing before the strip would leave
+    denormalized residue (found by the idempotence property test). The
+    result is NFC by construction and a fixpoint of the whole chain.
+
     Returns ``(id, norm_text, changed boolean)``.
     """
     from pyspark.sql.functions import pandas_udf
@@ -370,9 +387,11 @@ def normalize_text(
         )
 
     raw = F.col(text_col)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(_nfc(raw), _CTRL_RE, ""), _WS_RE, " "
+    norm = _nfc(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(raw, _CTRL_RE, ""), _WS_RE, " "
+            )
         )
     )
     return df.select(
