@@ -135,6 +135,29 @@ def main() -> None:
     deduped = exact_unique.join(near_drop, "doc_id", "left_anti")
     deduped = checkpoint_stage(deduped, work, "docs_dedup")
 
+    # stage 6: final curation — unicode/whitespace normalization, the
+    # C4 banned-word drop, then temperature-scaled per-host mixture
+    # weights over the survivors (the hand-off artifact a sampler
+    # consumes); checkpointed/resumable like everything above
+    from geomesa_spark.functions.urls import url_host
+    from geomesa_spark.operators.corpus import domain_mixture
+    from geomesa_spark.operators.textclean import badwords_filter, normalize_text
+
+    norm = normalize_text(deduped, "text", "doc_id").select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    kept_ids = badwords_filter(norm, ["error", "fatal"], mode="drop")
+    final = norm.join(kept_ids, "doc_id")
+    final = checkpoint_stage(final, work, "docs_final")
+    mixture = domain_mixture(
+        pages.join(final.select("doc_id"), "doc_id").select(
+            url_host(F.col("url")).alias("host")
+        ),
+        "host",
+        alpha=0.5,
+    )
+    mixture = checkpoint_stage(mixture, work, "mixture")
+
     # NOTE: the synthetic page corpus is intentionally duplicate-heavy
     # (~17 distinct texts per 20k pages), so the dedup stages collapse it
     # almost entirely — which is exactly the load profile they exist for.
@@ -146,6 +169,8 @@ def main() -> None:
         ).count(),
         "docs_exact_unique": exact_unique.count(),
         "docs_deduped": deduped.count(),
+        "docs_final": final.count(),
+        "mixture_domains": mixture.count(),
         "total_wall_s": round(time.perf_counter() - t_all, 2),
         "stages": sorted(
             f for f in os.listdir(work) if f.endswith(".metrics.json")
