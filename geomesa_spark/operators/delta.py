@@ -38,13 +38,24 @@ def crawl_delta(
     ``added`` (key only in ``new``), ``removed`` (only in ``old``),
     ``changed`` (both sides, fingerprints differ), ``unchanged``.
     """
-    o = old.select(F.col(key_col).alias("__k"), F.col(fp_col).alias("old_fp"))
-    n = new.select(F.col(key_col).alias("__k"), F.col(fp_col).alias("new_fp"))
+    # presence is tested with explicit side markers, NOT fingerprint
+    # nullness — a url present in both snapshots with a NULL fp on one
+    # side is 'changed', never 'added'/'removed'
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        F.col(fp_col).alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        F.col(fp_col).alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
     j = o.join(n, "__k", "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(

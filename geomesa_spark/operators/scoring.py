@@ -595,10 +595,13 @@ def bucket_by_thresholds(
     the exact p67/p33 score cuts from ``corpus.group_percentiles``);
     assignment is a broadcast join + two codegen comparisons. Documents
     score >= head_min → head, >= middle_min → middle, else tail.
+    Groups absent from ``thresholds`` (a rare language missing from the
+    cut snapshot) keep their documents and fall to ``tail`` — a silent
+    inner-join drop would shrink the corpus invisibly.
     """
     t = F.broadcast(thresholds)
     s = F.col(score_col)
-    return scored.join(t, group_col).select(
+    return scored.join(t, group_col, "left").select(
         *scored.columns,
         F.when(s >= F.col("head_min"), F.lit("head"))
         .when(s >= F.col("middle_min"), F.lit("middle"))

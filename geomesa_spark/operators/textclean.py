@@ -425,9 +425,12 @@ def badwords_filter(
     ``mode="flag"`` returns every doc as ``(id, n_bad int, flagged)``;
     ``mode="drop"`` returns only clean docs' ids.
     """
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
-    )
+    # the scoring module owns the package's standard tokenizer — reuse
+    # it so badwords verdicts can never desynchronize from the
+    # lm_score/bm25/dsir token streams
+    from geomesa_spark.operators.scoring import _tokens
+
+    toks = _tokens(text_col)
     bad = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
     n_bad = F.size(F.array_intersect(toks, bad))
     flagged = df.select(

@@ -201,12 +201,17 @@ def pagerank(
         # is the standard Pregel discipline; a production run
         # checkpoints this to the Iceberg lineage table for mid-run
         # resume.
-        if it + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint()
 
+    # the final round is checkpointed too, so the returned plan reads
+    # materialized (host, long) rows and the three cached inputs can be
+    # released — otherwise every pagerank() call in a long session
+    # (bench runs 96 queries in one JVM) pins executor storage forever
     out = ranks.select(
         "host",
         "rank_micro",
         (F.col("rank_micro").cast("double") / F.lit(float(SCALE))).alias("rank"),
     )
+    for cached in (nodes, adj, danglers):
+        cached.unpersist()
     return out

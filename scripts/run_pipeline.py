@@ -146,6 +146,10 @@ def main() -> None:
     norm = normalize_text(deduped, "text", "doc_id").select(
         "doc_id", F.col("norm_text").alias("text")
     )
+    # checkpoint BEFORE the filter: kept_ids is derived from norm, so an
+    # unmaterialized norm would run the NFC pandas UDF twice (once per
+    # join branch) over the full corpus
+    norm = checkpoint_stage(norm, work, "docs_norm")
     kept_ids = badwords_filter(norm, ["error", "fatal"], mode="drop")
     final = norm.join(kept_ids, "doc_id")
     final = checkpoint_stage(final, work, "docs_final")

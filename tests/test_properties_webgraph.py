@@ -44,7 +44,7 @@ _slow = settings(
 
 def _pagerank_ref(edges, iterations=3, d=85):
     """Sequential twin of webgraph.pagerank's int64 update rule."""
-    pairs = sorted({(s, t) for s, t in edges if True})
+    pairs = sorted(set(edges))
     nodes = sorted({x for e in pairs for x in e})
     n = len(nodes)
     if n == 0:
@@ -126,8 +126,7 @@ counts = st.lists(st.integers(1, 10_000), min_size=1, max_size=12)
 @_slow
 @given(counts)
 def test_domain_mixture_probability_vector(spark, ns):
-    rows = [(f"d{i}",) * 1 for i, n in enumerate(ns) for _ in range(1)]
-    # build per-domain sizes via size_col to avoid materializing n rows
+    # per-domain sizes via size_col, so no need to materialize n rows
     df = spark.createDataFrame(
         [(f"d{i}", n) for i, n in enumerate(ns)], "host string, sz long"
     )

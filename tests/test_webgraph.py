@@ -166,3 +166,31 @@ def test_badwords_filter_distinct_word_boundary(spark):
     assert got == {0: (1, True), 1: (0, False), 2: (2, True), 3: (0, False)}
     kept = {r.doc_id for r in badwords_filter(df, ["bad", "worse"], mode="drop").collect()}
     assert kept == {1, 3}
+
+
+def test_crawl_delta_null_fingerprints(spark):
+    from geomesa_spark.operators.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "c")], "url string, fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", None)], "url string, fingerprint string"
+    )
+    got = {r.url: r.status for r in crawl_delta(old, new).collect()}
+    # presence comes from the side markers, never fp nullness
+    assert got == {"u1": "changed", "u2": "unchanged", "u3": "removed"}
+
+
+def test_bucket_by_thresholds_missing_group_falls_to_tail(spark):
+    from pyspark.sql import Row
+
+    from geomesa_spark.operators.scoring import bucket_by_thresholds
+
+    scored = spark.createDataFrame(
+        [Row(doc_id=0, lang="en", mean_logprob=-1.0),
+         Row(doc_id=1, lang="xx", mean_logprob=-1.0)]
+    )
+    th = spark.createDataFrame([Row(lang="en", head_min=-2.0, middle_min=-3.0)])
+    got = {r.doc_id: r.label for r in bucket_by_thresholds(scored, th).collect()}
+    assert got == {0: "head", 1: "tail"}  # xx kept, not silently dropped
