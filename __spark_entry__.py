@@ -1526,6 +1526,8 @@ def _host_links(spark, sf_dir):
     pages = docs.select(F.col("doc_id"), g.alias("g"), h).filter(
         F.col("h") % 11 != 3
     )
+    # the two-word anchor ("w%d w%d") rides along for anchor_terms; the
+    # graph queries project it away, so their plans/oracles are unchanged
     return pages.select("doc_id", "g", "h", j).select(
         "doc_id",
         F.format_string("site%d.example", F.col("h")).alias("src"),
@@ -1533,6 +1535,11 @@ def _host_links(spark, sf_dir):
             "site%d.example",
             (F.col("h") * 31 + F.col("j") * 97 + F.col("g") % 13) % 997,
         ).alias("dst"),
+        F.format_string(
+            "w%d w%d",
+            (F.col("h") * 7 + F.col("j") * 13 + F.col("g") % 5) % 23,
+            (F.col("h") + F.col("j")) % 7,
+        ).alias("anchor"),
     )
 
 
@@ -1663,6 +1670,54 @@ def _q_badwords(spark, sf_dir):
     return badwords_filter(docs, _BADWORDS)
 
 
+def _q_anchor_terms(spark, sf_dir):
+    """Top-3 anchor-text terms per link target (webgraph.anchor_terms) —
+    the Common-Crawl anchor-corpus build over the outlink fixture's
+    deterministic two-word anchors. One map-side-combined (host, term)
+    hash aggregate, then a WindowGroupLimit top-k over the already-
+    aggregated rows with the (n DESC, term ASC) tiebreak; the oracle
+    rebuilds the links arithmetically and takes the same rank cut."""
+    from geomesa_spark.operators.webgraph import anchor_terms
+
+    links = _host_links(_utc(spark), sf_dir).select("dst", "anchor")
+    return anchor_terms(links, "dst", "anchor", k=3)
+
+
+def _q_incr_dedup(spark, sf_dir):
+    """Incremental dedup of a new crawl snapshot against an existing
+    corpus fingerprint table (dedup.incremental_dedup): exact via
+    content-hash equi-join, near via MinHash band match + full-signature
+    verify, 'new' otherwise — the corpus is never re-clustered. Planted
+    fixture: corpus = roles {0,2} of groups [0,200); the snapshot holds
+    100 exact copies (mutate=0 role-1, groups [0,100) — byte-equal to
+    base), 100 near-dups (mutate=2 role-1, groups [100,200), shingle
+    Jaccard ~0.87), and 100 novel docs (fresh groups [200,300), vocab
+    disjoint by construction). Expected verdicts are analytic."""
+    from geomesa_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_dedup,
+        synth_dedup_corpus,
+    )
+
+    n = _DEDUP_GROUPS
+    role = F.col("doc_id") % 3
+    g = F.floor(F.col("doc_id") / 3)
+    full = _cached_table(
+        _utc(spark), f"dedup_corpus_m2_{3 * n}",
+        lambda s: synth_dedup_corpus(s, 3 * n, mutate=2),
+    )
+    corpus = full.filter((role != 1) & (g < 2 * n))
+    exact_new = _cached_table(
+        _utc(spark), f"dedup_corpus_m0_{n}",
+        lambda s: synth_dedup_corpus(s, n, mutate=0),
+    ).filter(role == 1)
+    near_new = full.filter((role == 1) & (g >= n) & (g < 2 * n))
+    novel_new = full.filter((role == 0) & (g >= 2 * n))
+    snapshot = exact_new.unionByName(near_new).unionByName(novel_new)
+    fp = corpus_fingerprints(corpus, "text", "doc_id")
+    return incremental_dedup(snapshot, fp, "text", "doc_id", threshold=0.5)
+
+
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
 
 
@@ -1745,11 +1800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dms_parse": _q_dms_parse,
         "bbox_idl": _q_bbox_idl,
         # -- new / upgraded in round 5 (implementation changed -> must be
-        #    inside the driver's 50-slot window for a CURRENT green row) ----
+        #    inside the driver's 50-slot window for a CURRENT green row;
+        #    repetition/density_wkt ceded their slots to the brand-new
+        #    anchor_terms/incr_dedup — their r5 reworks are oracle-hash-
+        #    preserving, r4-green, and re-verified locally) ----------------
         "mosaic": _q_mosaic,
         "span_dedup": _q_span_dedup,
-        "repetition": _q_repetition,
-        "density_wkt": _q_density_wkt,
+        "anchor_terms": _q_anchor_terms,
+        "incr_dedup": _q_incr_dedup,
         "boilerplate": _q_boilerplate,
         "quality_filter": _q_quality_filter,
         "pack_shards": _q_pack_shards,
@@ -1773,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      bbox_time_indexed, attr_filter_indexed, record_lookup,
         #      knn, tube, spatial_join_boxes, dedup_exact — moved here
         #      to make room for the 8 late-r5 additions) ---------------
+        "repetition": _q_repetition,
+        "density_wkt": _q_density_wkt,
         "bbox_time_indexed": _q_bbox_time_indexed,
         "knn": _q_knn,
         "spatial_join_boxes": _q_spatial_join_boxes,
@@ -3248,6 +3308,59 @@ def oracle_sql() -> dict[str, str]:
             FROM ends GROUP BY host
         """,
         "pagerank": _pagerank_oracle(iterations=4, d=85),
+        # twin of webgraph.anchor_terms: rebuild the anchored outlink
+        # fixture arithmetically, same (host, term) count + rank cut with
+        # the (n DESC, term ASC) tiebreak
+        "anchor_terms": """
+            WITH pg AS (
+              SELECT doc_id, doc_id // 3 AS g, (doc_id // 3) % 997 AS h
+              FROM documents
+            ),
+            links AS (
+              SELECT printf('site%d.example',
+                            (h * 31 + j * 97 + g % 13) % 997) AS host,
+                     printf('w%d w%d',
+                            (h * 7 + j * 13 + g % 5) % 23,
+                            (h + j) % 7) AS anchor
+              FROM pg CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
+              WHERE h % 11 <> 3
+            ),
+            terms AS (
+              SELECT host,
+                     unnest(string_split_regex(lower(trim(anchor)), '\\s+'))
+                       AS term
+              FROM links
+            ),
+            counts AS (
+              SELECT host, term, CAST(count(*) AS BIGINT) AS n
+              FROM terms WHERE term <> '' GROUP BY host, term
+            ),
+            r AS (
+              SELECT host, term, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY n DESC, term ASC)
+                       AS INTEGER) AS rnk
+              FROM counts
+            )
+            SELECT host, term, n, rnk FROM r WHERE rnk <= 3
+        """,
+        # twin of dedup.incremental_dedup over the planted snapshot: the
+        # expected verdicts are analytic by construction (exact copies in
+        # groups [0,100), mutate=2 near-dups in [100,200) — shingle
+        # Jaccard 54/62 ~ 0.87, est >= 0.5 at 64 hashes — and vocabulary-
+        # disjoint novel groups in [200,300))
+        "incr_dedup": f"""
+            SELECT CAST(3 * g + 1 AS BIGINT) AS doc_id,
+                   'exact' AS verdict,
+                   CAST(3 * g AS BIGINT) AS match_id
+            FROM range(0, {_DEDUP_GROUPS}) t(g)
+            UNION ALL
+            SELECT CAST(3 * g + 1 AS BIGINT), 'near', CAST(3 * g AS BIGINT)
+            FROM range({_DEDUP_GROUPS}, {2 * _DEDUP_GROUPS}) t(g)
+            UNION ALL
+            SELECT CAST(3 * g AS BIGINT), 'new', CAST(NULL AS BIGINT)
+            FROM range({2 * _DEDUP_GROUPS}, {3 * _DEDUP_GROUPS}) t(g)
+        """,
         # twin of textclean.badwords_filter (flag mode): distinct lexicon
         # hits via list_distinct/list_filter mirroring array_intersect
         "badwords": """

@@ -71,11 +71,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return keep.select(id_col, "content_hash")
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
-    shingle_words: int = 3, seed: int = 42,
-) -> DataFrame:
-    """Per-doc MinHash signature (array<long>, length n_hashes)."""
+def _minhash_udf(n_hashes: int, shingle_words: int, seed: int):
+    """Arrow-batched MinHash signature UDF (array<long>, length n_hashes)."""
     a, b = _hash_params(n_hashes, seed)
 
     @F.pandas_udf("array<long>")
@@ -89,7 +86,31 @@ def minhash_signatures(
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
+    shingle_words: int = 3, seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature (array<long>, length n_hashes)."""
+    sig = _minhash_udf(n_hashes, shingle_words, seed)
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("minhash"))
+
+
+def _band_expr(sig_col: str, n_hashes: int, bands: int):
+    """array<struct<band,bucket>> — one xxhash64 bucket per signature band."""
+    rows_per_band = n_hashes // bands
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.col(sig_col)[i * rows_per_band + j].cast("string")
+                for j in range(rows_per_band)
+            ])).alias("bucket"),
+        )
+        for i in range(bands)
+    ])
 
 
 def minhash_lsh_pairs(
@@ -134,7 +155,6 @@ def minhash_lsh_pairs(
     managing executor storage across many calls should pass
     ``precomputed_sigs`` and own the persistence lifecycle.
     """
-    rows_per_band = n_hashes // bands
     # persist only a frame we built ourselves: a caller-supplied
     # precomputed_sigs owns its persistence lifecycle (see docstring) —
     # pinning it here would leak executor storage the caller can't release
@@ -145,16 +165,7 @@ def minhash_lsh_pairs(
             df, text_col, id_col, n_hashes, shingle_words, seed
         ).persist()
 
-    band_cols = F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("minhash")[i * rows_per_band + j].cast("string")
-                for j in range(rows_per_band)
-            ])).alias("bucket"),
-        )
-        for i in range(bands)
-    ])
+    band_cols = _band_expr("minhash", n_hashes, bands)
     exploded = sigs.withColumn("bb", F.explode(band_cols)).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -574,3 +585,156 @@ def span_dedup(
         )
         .select(id_col, "span_idx", "span_md5", "n_occurrences")
     )
+
+
+def corpus_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
+    shingle_words: int = 3, seed: int = 42,
+) -> DataFrame:
+    """One-pass fingerprint index of a corpus: ``(id, content_hash,
+    minhash)`` — the persisted artifact incremental dedup matches new
+    crawls against.
+
+    Single projection (md5 + the Arrow MinHash UDF in the same map
+    stage, no self-join); in production this is written once at
+    corpus-build time, bucketed by ``content_hash``, and every later
+    snapshot dedupes against the stored table without touching corpus
+    text again.
+    """
+    sig = _minhash_udf(n_hashes, shingle_words, seed)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        sig(F.col(text_col)).alias("minhash"),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame, corpus_fp: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n_hashes: int = 64, bands: int = 16,
+    shingle_words: int = 3, threshold: float = 0.5, seed: int = 42,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """Dedupe a NEW crawl snapshot against an EXISTING corpus — without
+    re-clustering the corpus.
+
+    This is the incremental half of the dedup family the batch operators
+    (:func:`exact_dedup`, :func:`minhash_lsh_pairs`) don't cover: in a
+    running pipeline each monthly/daily snapshot must be checked against
+    the 10^12-doc corpus already ingested, and recomputing all-pairs LSH
+    over corpus+snapshot every time would re-shuffle the whole corpus for
+    a 0.1% delta. Here the corpus side is its precomputed fingerprint
+    table (:func:`corpus_fingerprints` — id, content_hash, minhash) and
+    only the snapshot is fingerprinted fresh.
+
+    Verdict per new doc, first match wins:
+
+    * ``exact`` — content_hash equals some corpus doc's (match_id = the
+      smallest such corpus id);
+    * ``near``  — shares a MinHash band bucket with a corpus doc AND the
+      full-signature Jaccard estimate >= ``threshold`` (match_id = best
+      match: highest estimate, smallest corpus id on ties);
+    * ``new``   — neither (match_id NULL). These are the rows the
+      pipeline admits and appends to the fingerprint table.
+
+    Returns ``(id, verdict string, match_id bigint)``, one row per new doc.
+
+    Scale shape (10^12-doc corpus, 10^9-doc snapshot): the exact stage is
+    an equi-join keyed on content_hash — with the corpus fingerprint
+    table bucketed on that key at build time only the snapshot side
+    shuffles. The near stage explodes both sides to (band, bucket) rows
+    (24 bytes each, signatures never ride the explode) and equi-joins;
+    corpus buckets larger than ``bucket_cap`` are collapsed to their
+    min-id representative (the star-hub discipline of
+    :func:`minhash_lsh_pairs` — an over-cap bucket is a near-identical
+    template family, so matching the hub is matching the family), which
+    bounds the join fanout per snapshot row. Verification re-attaches
+    full signatures to CANDIDATE pairs only, by id. In production the
+    corpus band table — like the window count that sizes its buckets —
+    is precomputed once at corpus-build time, so a snapshot run shuffles
+    only snapshot-derived rows.
+
+    Memory note: the snapshot fingerprint frame persists for the
+    SparkSession's lifetime (read by the exact join, the band explode,
+    the verify re-attach, and the final anti-join).
+    """
+    nh = corpus_fingerprints(
+        new_docs, text_col, id_col, n_hashes, shingle_words, seed
+    ).select(
+        F.col(id_col).alias("__nid"), "content_hash",
+        F.col("minhash").alias("__nmh"),
+    ).persist()
+    ch = corpus_fp.select(
+        F.col(id_col).alias("__cid"), "content_hash",
+        F.col("minhash").alias("__cmh"),
+    )
+
+    exact = (
+        nh.join(ch.select("__cid", "content_hash"), "content_hash")
+        .groupBy("__nid")
+        .agg(F.min("__cid").alias("match_id"))
+    )
+
+    rem = nh.join(exact.select("__nid"), "__nid", "left_anti")
+    nb = rem.withColumn(
+        "bb", F.explode(_band_expr("__nmh", n_hashes, bands))
+    ).select("__nid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cb = ch.withColumn(
+        "bb", F.explode(_band_expr("__cmh", n_hashes, bands))
+    ).select("__cid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # corpus-side hot-bucket guard (see docstring): over-cap buckets match
+    # via their min-id hub only, so fanout per snapshot row is bounded
+    keyed = cb.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
+    cside = (
+        keyed.filter(F.col("__bn") <= bucket_cap).drop("__bn")
+        .unionByName(
+            keyed.filter(F.col("__bn") > bucket_cap)
+            .groupBy("band", "bucket").agg(F.min("__cid").alias("__cid"))
+            .select("__cid", "band", "bucket")
+        )
+    )
+    cand = (
+        nb.join(cside, ["band", "bucket"])
+        .select("__nid", "__cid")
+        .dropDuplicates(["__nid", "__cid"])
+    )
+    paired = (
+        cand.join(rem.select("__nid", "__nmh"), "__nid")
+        .join(ch.select("__cid", "__cmh"), "__cid")
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("__nmh", "__cmh", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(n_hashes))
+    )
+    near = paired.withColumn("__est", est).filter(F.col("__est") >= threshold)
+    best = (
+        near.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__nid")
+                .orderBy(F.col("__est").desc(), F.col("__cid").asc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("__nid", F.col("__cid").alias("match_id"))
+    )
+
+    matched = (
+        exact.select("__nid", F.lit("exact").alias("verdict"), "match_id")
+        .unionByName(best.select("__nid", F.lit("near").alias("verdict"), "match_id"))
+    )
+    novel = (
+        nh.select("__nid")
+        .join(matched.select("__nid"), "__nid", "left_anti")
+        .select(
+            "__nid",
+            F.lit("new").alias("verdict"),
+            F.lit(None).cast("long").alias("match_id"),
+        )
+    )
+    return matched.unionByName(novel).withColumnRenamed("__nid", id_col)

@@ -46,10 +46,58 @@ Three operators:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000  # 1.0 of total rank mass, in micro-units
+
+
+def anchor_terms(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` anchor-text terms per link target — the Common-Crawl
+    anchor-corpus build (CC publishes exactly this: the text other sites
+    use when linking to a host is a relevance/label signal search and
+    LLM pipelines consume alongside the page text itself).
+
+    Input is a page-level link table with (``dst_col``, ``anchor_col``);
+    output is one row per retained term: ``(host, term, n bigint,
+    rnk int)`` with ``rnk`` the 1-based rank by ``(n DESC, term ASC)``
+    (the term tiebreak makes the cut deterministic) and ``rnk <= k``.
+    Anchors are lower-cased and whitespace-tokenized; empty tokens drop.
+
+    Scale shape (10^12 links): the explode emits (dst, term) pairs but
+    the first aggregation is map-side combined, so the one corpus-sized
+    exchange carries ``(dst, term, partial_count)`` — hot targets
+    (everyone links to the same few hosts, with the same few words)
+    collapse on the map side precisely *because* they repeat.  The
+    top-``k`` cut then runs over already-aggregated (dst, term, n) rows,
+    and Spark's WindowGroupLimit rewrite (rank predicate pushdown,
+    pinned by test_webgraph) applies a partial top-``k`` per partition
+    before the window exchange, so even a target with millions of
+    distinct anchor terms ships at most ``k`` rows per input partition.
+    No driver collects, no Python.
+    """
+    terms = (
+        links.select(
+            F.col(dst_col).alias("host"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(anchor_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("host", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        terms.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("host", "term", "n", "rnk")
+    )
 
 
 def host_graph(links: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:

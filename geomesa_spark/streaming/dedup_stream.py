@@ -60,3 +60,42 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    corpus_fp: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stream-static twin of ``operators.dedup.incremental_dedup``'s
+    exact stage: classify documents streaming in against the EXISTING
+    corpus fingerprint table as they arrive.
+
+    ``corpus_fp`` is the static fingerprint table
+    (``dedup.corpus_fingerprints`` output or the stored equivalent —
+    only ``id_col`` and ``content_hash`` are read). Each streamed doc
+    gains ``content_hash``, ``verdict`` ('exact' for an already-ingested
+    content hash, else 'new'), and ``match_id`` (smallest matching
+    corpus id, NULL for new docs). Append-mode safe: one stateless
+    stream-static left equi-join per micro-batch, no streaming state at
+    all — with the stored corpus table bucketed on ``content_hash``,
+    only the micro-batch side shuffles.
+
+    Near-dup classification (MinHash band match + verify) stays a batch
+    concern: it needs a window over candidate pairs, which streaming
+    can't express incrementally — run the batch operator inside
+    ``foreachBatch`` where per-batch near-dup verdicts are required.
+    """
+    hashes = corpus_fp.groupBy("content_hash").agg(
+        F.min(id_col).alias("match_id")
+    )
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    return hashed.join(hashes, "content_hash", "left").select(
+        *stream.columns,
+        "content_hash",
+        F.when(F.col("match_id").isNotNull(), F.lit("exact"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        "match_id",
+    )

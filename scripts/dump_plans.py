@@ -114,6 +114,8 @@ AUDIT = [
     ("crawl_delta", "ONE full-outer equi-join on the unique url key; (url,fp) pairs only; no window"),
     ("normalize_text", "ONE ArrowEvalPython (NFC) inside a codegen regex chain; ZERO shuffles"),
     ("badwords", "literal-array intersect in ONE WholeStageCodegen map; ZERO shuffles, no Python"),
+    ("anchor_terms", "map-side-combined (host,term) agg then WindowGroupLimit partial top-k; ONE window"),
+    ("incr_dedup", "hash/band equi-joins only (exact join, band match, verify re-attach); no cartesian, no global sort"),
 ]
 
 FLAGS = [

@@ -8,7 +8,13 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.operators.corpus import domain_mixture
 from geomesa_spark.operators.scoring import bucket_by_thresholds, ppl_buckets
-from geomesa_spark.operators.webgraph import SCALE, degree_stats, host_graph, pagerank
+from geomesa_spark.operators.webgraph import (
+    SCALE,
+    anchor_terms,
+    degree_stats,
+    host_graph,
+    pagerank,
+)
 
 
 def _edges(spark, rows):
@@ -194,3 +200,44 @@ def test_bucket_by_thresholds_missing_group_falls_to_tail(spark):
     th = spark.createDataFrame([Row(lang="en", head_min=-2.0, middle_min=-3.0)])
     got = {r.doc_id: r.label for r in bucket_by_thresholds(scored, th).collect()}
     assert got == {0: "head", 1: "tail"}  # xx kept, not silently dropped
+
+
+def test_anchor_terms_counts_case_fold_and_tiebreak(spark):
+    links = spark.createDataFrame(
+        [("h", "Big cat"), ("h", "big dog"), ("h", "   "), ("g", "Solo")],
+        "dst string, anchor string",
+    )
+    got = {(r.host, r.rnk): (r.term, r.n) for r in anchor_terms(links, k=3).collect()}
+    # counts fold case; ties (cat=dog=1) break term-ASC; blanks emit nothing
+    assert got == {
+        ("h", 1): ("big", 2),
+        ("h", 2): ("cat", 1),
+        ("h", 3): ("dog", 1),
+        ("g", 1): ("solo", 1),
+    }
+
+
+def test_anchor_terms_k_cut_is_exact(spark):
+    links = spark.createDataFrame(
+        [("h", "a a a b b c")], "dst string, anchor string"
+    )
+    rows = anchor_terms(links, k=2).collect()
+    assert [(r.term, r.n, r.rnk) for r in sorted(rows, key=lambda r: r.rnk)] == [
+        ("a", 3, 1), ("b", 2, 2)
+    ]
+
+
+def test_anchor_terms_plan_partial_topk_before_exchange(spark):
+    links = spark.createDataFrame(
+        [("h", "a b")], "dst string, anchor string"
+    )
+    plan = (
+        anchor_terms(links, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the top-k must run as WindowGroupLimit (partial per-partition cut
+    # before the window exchange) over the already-aggregated
+    # (host, term, n) rows — a hot target with millions of distinct
+    # anchor terms ships at most k rows per input partition
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Window [row_number()") == 1
