@@ -1718,6 +1718,24 @@ def _q_incr_dedup(spark, sf_dir):
     return incremental_dedup(snapshot, fp, "text", "doc_id", threshold=0.5)
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    """Re-crawl frontier (delta.crawl_frontier): the crawl_delta fixture
+    joined to the pagerank host authority table, int64 priority
+    weight(status) * (rank_micro + 1), then the exact skew-aware top-3
+    per host via cap_per_group. Composes three surfaces the driver
+    already checks independently (crawl_delta, pagerank, cap_domain's
+    cap path); the oracle rebuilds all of them and takes the same
+    (priority DESC, url ASC) rank cut."""
+    from geomesa_spark.operators.delta import crawl_frontier
+    from geomesa_spark.operators.webgraph import host_graph, pagerank
+
+    delta = _q_crawl_delta(spark, sf_dir)
+    ranks = pagerank(
+        host_graph(_host_links(_utc(spark), sf_dir)), iterations=4, damping_pct=85
+    )
+    return crawl_frontier(delta, ranks, n_per_host=3)
+
+
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
 
 
@@ -1879,6 +1897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "decontaminate": _q_decontaminate,
         "blocklist": _q_blocklist,
+        # slot 51+ addition (brand-new but past the driver window — the
+        # 50 checked slots are spoken for; verified by the local gate)
+        "crawl_frontier": _q_crawl_frontier,
     }
 
 
@@ -3360,6 +3381,57 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 * g AS BIGINT), 'new', CAST(NULL AS BIGINT)
             FROM range({2 * _DEDUP_GROUPS}, {3 * _DEDUP_GROUPS}) t(g)
+        """,
+        # twin of delta.crawl_frontier: crawl_delta fixture + unrolled
+        # pagerank (as a derived table) + the same int64 priority and
+        # (priority DESC, url ASC) per-host rank cut
+        "crawl_frontier": f"""
+            WITH o AS (
+              SELECT printf('https://site%d.example/p/%d',
+                            (doc_id // 3) % 997, doc_id) AS url,
+                     printf('site%d.example', (doc_id // 3) % 997) AS host,
+                     md5(text) AS old_fp
+              FROM documents WHERE doc_id % 17 <> 0
+            ),
+            n AS (
+              SELECT printf('https://site%d.example/p/%d',
+                            (doc_id // 3) % 997, doc_id) AS url,
+                     printf('site%d.example', (doc_id // 3) % 997) AS host,
+                     md5(CASE WHEN doc_id % 13 = 0 THEN text || '~v2'
+                              ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 19 <> 0
+            ),
+            delta AS (
+              SELECT coalesce(o.url, n.url) AS url,
+                     coalesce(o.host, n.host) AS host,
+                     CASE WHEN o.old_fp IS NULL THEN 'added'
+                          WHEN n.new_fp IS NULL THEN 'removed'
+                          WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON o.url = n.url
+            ),
+            pr AS (
+              SELECT host, rank_micro
+              FROM ({_pagerank_oracle(iterations=4, d=85)}) q
+            ),
+            scored AS (
+              SELECT d.url, d.host, d.status,
+                     CAST((CASE d.status WHEN 'changed' THEN 3
+                                         WHEN 'added' THEN 2
+                                         ELSE 1 END)
+                          * (coalesce(pr.rank_micro, 0) + 1) AS BIGINT)
+                       AS priority
+              FROM delta d LEFT JOIN pr ON pr.host = d.host
+              WHERE d.status <> 'removed'
+            ),
+            r AS (
+              SELECT url, host, status, priority,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, url ASC) AS rn
+              FROM scored
+            )
+            SELECT url, host, status, priority FROM r WHERE rn <= 3
         """,
         # twin of textclean.badwords_filter (flag mode): distinct lexicon
         # hits via list_distinct/list_filter mirroring array_intersect

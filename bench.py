@@ -443,8 +443,9 @@ def _time_queries(spark) -> dict[str, float]:
         # appended late-r5 (web-graph + mixture family)
         "link_graph", "host_degrees", "pagerank", "ppl_buckets",
         "domain_mixture", "crawl_delta", "normalize_text", "badwords",
-        # appended late-r5 second batch (anchor corpus + incremental dedup)
-        "anchor_terms", "incr_dedup",
+        # appended late-r5 second batch (anchor corpus + incremental dedup
+        # + frontier scheduling)
+        "anchor_terms", "incr_dedup", "crawl_frontier",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

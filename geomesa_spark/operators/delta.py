@@ -70,3 +70,69 @@ def delta_counts(delta: DataFrame) -> DataFrame:
     """Per-status row counts — the one-line crawl health summary
     (added/removed/changed/unchanged). One tiny hash aggregate."""
     return delta.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def crawl_frontier(
+    delta: DataFrame,
+    host_ranks: DataFrame,
+    n_per_host: int,
+    key_col: str = "url",
+    weights: dict[str, int] | None = None,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Priority-ranked re-crawl frontier from a snapshot delta and host
+    authority ranks — the crawl-scheduling step that closes the loop the
+    delta opens: which urls to fetch next, budgeted per host (politeness
+    + per-host fetch quotas are how every production crawler schedules).
+
+    ``delta`` is :func:`crawl_delta` output; ``host_ranks`` is
+    ``webgraph.pagerank`` output (``host``, ``rank_micro``) or any
+    (host, int64-authority) table. ``removed`` urls are dropped (nothing
+    to fetch); each survivor gets
+
+        ``priority = weight(status) * (rank_micro + 1)``
+
+    — all int64, so the ordering is bit-stable across engines and
+    parallelism (the ``+1`` keeps status ordering meaningful for hosts
+    missing from the rank table, whose rank coalesces to 0). Default
+    weights: changed=3, added=2, unchanged=1 (a content change is the
+    strongest refresh signal; Common Crawl's own refresh policy
+    prioritizes churn). The per-host budget is the exact skew-aware
+    top-n of :func:`~geomesa_spark.operators.corpus.cap_per_group`
+    (broadcast pass-through for within-budget hosts, WindowGroupLimit
+    partial top-n for the over-budget slice).
+
+    Returns ``(key, host, status, priority bigint)``, at most
+    ``n_per_host`` rows per host.
+
+    Scale shape (10^12 urls): the rank join broadcasts (10^5-10^8 hosts
+    fit; pass ``broadcast_ranks=False`` beyond that for a shuffle join
+    keyed on host), so the only corpus-sized exchange is the one inside
+    cap_per_group's over-budget slice — and that ships at most
+    ``n_per_host`` rows per (host, partition).
+    """
+    from geomesa_spark.functions.urls import url_host
+    from geomesa_spark.operators.corpus import cap_per_group
+
+    w = weights or {"changed": 3, "added": 2, "unchanged": 1}
+    weight = F.lit(None).cast("long")
+    for status, mult in w.items():
+        weight = F.when(F.col("status") == status, F.lit(int(mult))).otherwise(weight)
+
+    ranks = host_ranks.select("host", "rank_micro")
+    if broadcast_ranks:
+        ranks = F.broadcast(ranks)
+    scored = (
+        delta.filter(F.col("status").isin(*w.keys()))
+        .select(F.col(key_col), url_host(F.col(key_col)).alias("host"), "status")
+        .join(ranks, "host", "left")
+        .select(
+            key_col,
+            "host",
+            "status",
+            (
+                weight * (F.coalesce(F.col("rank_micro"), F.lit(0)) + F.lit(1))
+            ).cast("long").alias("priority"),
+        )
+    )
+    return cap_per_group(scored, "host", "priority", key_col, n_per_host)

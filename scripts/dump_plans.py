@@ -116,6 +116,7 @@ AUDIT = [
     ("badwords", "literal-array intersect in ONE WholeStageCodegen map; ZERO shuffles, no Python"),
     ("anchor_terms", "map-side-combined (host,term) agg then WindowGroupLimit partial top-k; ONE window"),
     ("incr_dedup", "hash/band equi-joins only (exact join, band match, verify re-attach); no cartesian, no global sort"),
+    ("crawl_frontier", "broadcast rank join over the delta full-outer; cap_per_group split (broadcast pass-through + WindowGroupLimit over-slice)"),
 ]
 
 FLAGS = [

@@ -241,3 +241,33 @@ def test_anchor_terms_plan_partial_topk_before_exchange(spark):
     # anchor terms ships at most k rows per input partition
     assert "WindowGroupLimit" in plan
     assert plan.count("Window [row_number()") == 1
+
+
+def test_crawl_frontier_priority_cap_and_removed_drop(spark):
+    from geomesa_spark.operators.delta import crawl_frontier
+
+    delta = spark.createDataFrame(
+        [
+            ("https://a.example/1", "changed"),
+            ("https://a.example/2", "added"),
+            ("https://a.example/3", "unchanged"),
+            ("https://a.example/4", "removed"),   # never fetched
+            ("https://a.example/5", "unchanged"),
+            ("https://b.example/1", "added"),     # host missing from ranks
+        ],
+        "url string, status string",
+    )
+    ranks = spark.createDataFrame([("a.example", 1000)], "host string, rank_micro long")
+    got = {r.url: r for r in crawl_frontier(delta, ranks, n_per_host=3).collect()}
+    # removed dropped; a.example over budget -> exact top-3 of 4
+    assert set(got) == {
+        "https://a.example/1", "https://a.example/2", "https://a.example/3",
+        "https://b.example/1",
+    }
+    # priority = weight * (rank + 1); missing host coalesces rank to 0
+    assert got["https://a.example/1"].priority == 3 * 1001
+    assert got["https://a.example/2"].priority == 2 * 1001
+    assert got["https://b.example/1"].priority == 2 * 1
+    # the losing within-host row is the tie-broken unchanged url
+    # (/3 beats /5 on url ASC at equal priority 1001)
+    assert got["https://a.example/3"].priority == 1001
