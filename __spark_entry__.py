@@ -1714,7 +1714,12 @@ def _q_incr_dedup(spark, sf_dir):
     near_new = full.filter((role == 1) & (g >= n) & (g < 2 * n))
     novel_new = full.filter((role == 0) & (g >= 2 * n))
     snapshot = exact_new.unionByName(near_new).unionByName(novel_new)
-    fp = corpus_fingerprints(corpus, "text", "doc_id")
+    # materialize the corpus fingerprints once: the operator reads the
+    # corpus side three times, and an unmaterialized lineage would rerun
+    # the Arrow MinHash UDF over the corpus per read (in production this
+    # frame is a stored table; localCheckpoint is the session-local twin
+    # and is released when the frame is garbage-collected)
+    fp = corpus_fingerprints(corpus, "text", "doc_id").localCheckpoint(eager=False)
     return incremental_dedup(snapshot, fp, "text", "doc_id", threshold=0.5)
 
 
@@ -1776,15 +1781,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver oracle-checks only the FIRST 50 entries.
     # Round 5 rotation — slots 1-30 hold the 30 entries whose only green
     # CORRECTNESS rows are from rounds 1-3 (rotated past 50 in round 4),
-    # slots 31-40 the round-5 additions/changes (mosaic's new pixel oracle,
-    # span_dedup, the repetition/density_wkt/boilerplate reworks, the
-    # composite quality_filter verdict, pack_shards, and the late-r5
-    # scoring/cap trio bm25/lm_score/cap_domain), and slots 41-50 the most
-    # load-bearing queries (headline joins/knn/index scans/dedup — green
-    # in r4, kept under continuous check; bbox_indexed, spatial_join_poly/
-    # geoms, minhash_lsh and dedup_components move past 50 with their r4
-    # green rows standing). Entries past 50 all carry green rows from
-    # CORRECTNESS_r03/r04.
+    # slots 31-50 the round-5 additions/changes (mosaic's new pixel oracle,
+    # span_dedup, the brand-new anchor_terms/incr_dedup, the boilerplate
+    # rework, the composite quality_filter verdict, pack_shards, the
+    # scoring/cap trio bm25/lm_score/cap_domain, DSIR, and the web-graph +
+    # mixture family). Window-budget exception, stated explicitly: the
+    # repetition/density_wkt reworks are r5-changed but sit past 50 — both
+    # are r4-green, their oracles are hash-preserving, and the full local
+    # gate (scripts/check_oracle.py, ALL MATCH) re-verified them this
+    # round; the two slots went to the never-checked new operators.
+    # crawl_frontier (brand-new, composition of three checked surfaces)
+    # also sits past 50 for the same budget reason, local-gate-verified.
+    # Entries past 50 all carry green rows from CORRECTNESS_r03/r04 or
+    # the local gate.
     return {
         # -- green in r1-r3 only; rotated back into the checked window ------
         "proximity": _q_proximity,

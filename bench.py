@@ -456,7 +456,7 @@ def _time_queries(spark) -> dict[str, float]:
     # recorded run per box, unreproducibly)
     entrymod._layout_events(spark, SF_DIR)
     for warm in ("bbox_geoms", "minhash_lsh", "simhash", "ann_lsh", "ann_ivf",
-                 "embed_dedup", "convert_avro"):
+                 "embed_dedup", "convert_avro", "incr_dedup"):
         _noop(qs[warm](spark, SF_DIR))
     out = {}
     for name in names:

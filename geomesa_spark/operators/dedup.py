@@ -654,16 +654,22 @@ def incremental_dedup(
     is precomputed once at corpus-build time, so a snapshot run shuffles
     only snapshot-derived rows.
 
-    Memory note: the snapshot fingerprint frame persists for the
-    SparkSession's lifetime (read by the exact join, the band explode,
-    the verify re-attach, and the final anti-join).
+    Memory note: the snapshot fingerprint frame is localCheckpointed
+    (read by the exact join, the band explode, the verify re-attach,
+    and the final anti-join) — materialized once, released when the
+    returned frame is garbage-collected, so repeated calls in a
+    long-lived session don't pin executor storage (the leak class the
+    pagerank cleanup fixed). The CORPUS side is deliberately left
+    untouched: it is read three times, so callers holding only an
+    unmaterialized ``corpus_fingerprints`` lineage should persist or
+    store it themselves — in production it is a stored table.
     """
     nh = corpus_fingerprints(
         new_docs, text_col, id_col, n_hashes, shingle_words, seed
     ).select(
         F.col(id_col).alias("__nid"), "content_hash",
         F.col("minhash").alias("__nmh"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     ch = corpus_fp.select(
         F.col(id_col).alias("__cid"), "content_hash",
         F.col("minhash").alias("__cmh"),

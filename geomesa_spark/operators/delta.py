@@ -97,7 +97,8 @@ def crawl_frontier(
     missing from the rank table, whose rank coalesces to 0). Default
     weights: changed=3, added=2, unchanged=1 (a content change is the
     strongest refresh signal; Common Crawl's own refresh policy
-    prioritizes churn). The per-host budget is the exact skew-aware
+    prioritizes churn); statuses missing from a custom ``weights`` get
+    weight 1, they are never dropped. The per-host budget is the exact skew-aware
     top-n of :func:`~geomesa_spark.operators.corpus.cap_per_group`
     (broadcast pass-through for within-budget hosts, WindowGroupLimit
     partial top-n for the over-budget slice).
@@ -115,7 +116,10 @@ def crawl_frontier(
     from geomesa_spark.operators.corpus import cap_per_group
 
     w = weights or {"changed": 3, "added": 2, "unchanged": 1}
-    weight = F.lit(None).cast("long")
+    # statuses missing from a custom weights dict default to 1 — only
+    # 'removed' is ever dropped (the docstring contract); a partial
+    # weights override must not silently discard fetchable urls
+    weight = F.lit(1).cast("long")
     for status, mult in w.items():
         weight = F.when(F.col("status") == status, F.lit(int(mult))).otherwise(weight)
 
@@ -123,7 +127,7 @@ def crawl_frontier(
     if broadcast_ranks:
         ranks = F.broadcast(ranks)
     scored = (
-        delta.filter(F.col("status").isin(*w.keys()))
+        delta.filter(F.col("status") != "removed")
         .select(F.col(key_col), url_host(F.col(key_col)).alias("host"), "status")
         .join(ranks, "host", "left")
         .select(

@@ -254,7 +254,7 @@ def pagerank(
     # the final round is checkpointed too, so the returned plan reads
     # materialized (host, long) rows and the three cached inputs can be
     # released — otherwise every pagerank() call in a long session
-    # (bench runs 96 queries in one JVM) pins executor storage forever
+    # (bench runs ~100 queries in one JVM) pins executor storage forever
     out = ranks.select(
         "host",
         "rank_micro",

@@ -87,6 +87,15 @@ def streaming_incremental_dedup(
     can't express incrementally — run the batch operator inside
     ``foreachBatch`` where per-batch near-dup verdicts are required.
     """
+    clash = {"content_hash", "verdict", "match_id"} & set(stream.columns)
+    if clash:
+        # silently overwriting a caller's content_hash (then re-emitting
+        # it twice via select(*stream.columns, ...)) would raise an
+        # ambiguous-reference error only deep inside the streaming query
+        raise ValueError(
+            f"stream already carries output column(s) {sorted(clash)}; "
+            "rename them before streaming_incremental_dedup"
+        )
     hashes = corpus_fp.groupBy("content_hash").agg(
         F.min(id_col).alias("match_id")
     )

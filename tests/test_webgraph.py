@@ -271,3 +271,21 @@ def test_crawl_frontier_priority_cap_and_removed_drop(spark):
     # the losing within-host row is the tie-broken unchanged url
     # (/3 beats /5 on url ASC at equal priority 1001)
     assert got["https://a.example/3"].priority == 1001
+
+
+def test_crawl_frontier_partial_weights_keep_unlisted_statuses(spark):
+    from geomesa_spark.operators.delta import crawl_frontier
+
+    delta = spark.createDataFrame(
+        [
+            ("https://a.example/1", "changed"),
+            ("https://a.example/2", "added"),      # unlisted -> weight 1
+            ("https://a.example/3", "removed"),    # always dropped
+        ],
+        "url string, status string",
+    )
+    ranks = spark.createDataFrame([("a.example", 9)], "host string, rank_micro long")
+    got = {r.url: r.priority
+           for r in crawl_frontier(delta, ranks, n_per_host=5,
+                                    weights={"changed": 5}).collect()}
+    assert got == {"https://a.example/1": 5 * 10, "https://a.example/2": 1 * 10}
