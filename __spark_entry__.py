@@ -1723,6 +1723,18 @@ def _q_incr_dedup(spark, sf_dir):
     return incremental_dedup(snapshot, fp, "text", "doc_id", threshold=0.5)
 
 
+def _q_classifier_score(spark, sf_dir):
+    """Linear quality-classifier scoring (quality.classifier_filter, flag
+    mode, declared stand-in weights): logit = round(bias + Σ w·feature, 6)
+    over the text_quality 6-decimal features plus len_frac, summed in the
+    fixed weight order so the double is bit-identical in any IEEE engine;
+    the oracle chains the identical operations left-to-right."""
+    from geomesa_spark.operators.quality import classifier_filter
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text")
+    return classifier_filter(docs, "text", "doc_id")
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Re-crawl frontier (delta.crawl_frontier): the crawl_delta fixture
     joined to the pagerank host authority table, int64 priority
@@ -1906,9 +1918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "decontaminate": _q_decontaminate,
         "blocklist": _q_blocklist,
-        # slot 51+ addition (brand-new but past the driver window — the
+        # slot 51+ additions (brand-new but past the driver window — the
         # 50 checked slots are spoken for; verified by the local gate)
         "crawl_frontier": _q_crawl_frontier,
+        "classifier_score": _q_classifier_score,
     }
 
 
@@ -3186,6 +3199,43 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - least(0.5, n_punct / sc) - least(0.3, n_digit / sc)
                          + least(0.2, n_stop / st), 6) AS quality_score
             FROM r
+        """,
+        # twin of quality.classifier_filter (flag mode, stand-in weights):
+        # the same left-to-right weighted sum over the same rounded
+        # features — identical IEEE operation chain, identical double
+        "classifier_score": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x IN ({stop_list}))) AS n_stop
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_tokens,
+                     CAST(greatest(1, n_chars) AS DOUBLE) AS sc,
+                     CAST(greatest(1, n_tokens) AS DOUBLE) AS st,
+                     n_punct, n_digit, n_upper, n_stop
+              FROM m
+            ),
+            s AS (
+              SELECT doc_id,
+                     round(-0.5
+                           + 2.0 * round(n_stop / st, 6)
+                           + -1.5 * round(n_punct / sc, 6)
+                           + -1.25 * round(n_digit / sc, 6)
+                           + -0.75 * round(n_upper / sc, 6)
+                           + 0.125 * round(sc / st, 6)
+                           + 0.5 * (CAST(least(n_tokens, 1000) AS DOUBLE) / 1000.0),
+                           6) AS logit
+              FROM r
+            )
+            SELECT doc_id, logit, logit >= 0.0 AS keep FROM s
         """,
         "minhash_lsh": f"""
             SELECT 3 * t.g AS id_a, 3 * t.g + 1 AS id_b

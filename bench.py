@@ -444,8 +444,8 @@ def _time_queries(spark) -> dict[str, float]:
         "link_graph", "host_degrees", "pagerank", "ppl_buckets",
         "domain_mixture", "crawl_delta", "normalize_text", "badwords",
         # appended late-r5 second batch (anchor corpus + incremental dedup
-        # + frontier scheduling)
-        "anchor_terms", "incr_dedup", "crawl_frontier",
+        # + frontier scheduling + linear quality classifier)
+        "anchor_terms", "incr_dedup", "crawl_frontier", "classifier_score",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

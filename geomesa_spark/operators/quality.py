@@ -126,3 +126,73 @@ def quality_filter(
         *(v.alias(k) for k, v in flags.items()),
         keep.alias("keep"),
     )
+
+
+# Declared stand-in weights for the linear quality classifier below:
+# direction-plausible (stopword density up-weights, symbol/digit/caps
+# noise down-weights, mild length reward) but NOT trained — the operator
+# is the integration point for a real fastText/DCLM-style model, whose
+# learned weights would be passed in instead. Dyadic values so the
+# literals are exactly representable.
+DEFAULT_CLASSIFIER_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("stopword_ratio", 2.0),
+    ("punct_ratio", -1.5),
+    ("digit_ratio", -1.25),
+    ("upper_ratio", -0.75),
+    ("mean_token_len", 0.125),
+    ("len_frac", 0.5),
+)
+
+
+def classifier_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] | None = None,
+    bias: float = -0.5,
+    threshold: float = 0.0,
+    mode: str = "flag",
+) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over the engineered
+    text features — the pipeline slot where FineWeb-edu/DCLM put a trained
+    fastText/regression quality model (vs :func:`quality_filter`'s
+    hand-thresholded rules). The feature extraction, scoring plumbing, and
+    keep/drop routing are real; the default weight vector is a declared
+    deterministic stand-in (see ``DEFAULT_CLASSIFIER_WEIGHTS``) because no
+    model training happens in this environment — swap in learned weights
+    via ``weights``/``bias``.
+
+    ``logit = round(bias + Σ w_f · feature_f, 6)`` with the features the
+    already-published 6-decimal-rounded ``text_quality`` ratios plus
+    ``len_frac = least(n_tokens, 1000) / 1000.0``; the sum is evaluated in
+    the fixed ``weights`` order, so the double is bit-identical in any
+    IEEE engine (the oracle twin chains the identical operations).
+    ``keep = logit >= threshold``. Returns ``(id, logit, keep)`` in flag
+    mode, the kept subset of ``df``'s rows (plus ``logit``) in drop mode.
+    NULL-text rows produce no output row (same contract as
+    :func:`quality_filter`).
+
+    Scale shape (10^12 docs): ZERO exchanges — one whole-stage-codegen map
+    over the scan, identical to :func:`quality_filter`; a trained
+    replacement with a bounded vocabulary would broadcast its weight table
+    and stay a map-only job.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    t = F.col(text_col)
+    m = quality_metric_cols(t)
+    m["len_frac"] = (
+        F.least(m["n_tokens"], F.lit(1000)).cast("double") / F.lit(1000.0)
+    )
+    expr = F.lit(float(bias))
+    # `weights or ...` would silently swap an explicit empty model for the
+    # defaults; only None means "use the stand-in weights"
+    for name, w in DEFAULT_CLASSIFIER_WEIGHTS if weights is None else weights:
+        expr = expr + F.lit(float(w)) * m[name]
+    logit = F.round(expr, 6)
+    scored = df.filter(t.isNotNull()).withColumn("logit", logit).withColumn(
+        "keep", F.col("logit") >= F.lit(float(threshold))
+    )
+    if mode == "drop":
+        return scored.filter("keep").drop("keep")
+    return scored.select(F.col(id_col), "logit", "keep")

@@ -118,3 +118,55 @@ def test_streaming_incremental_dedup_stream_static(spark, tmp_path):
         for r in spark.sql("SELECT * FROM incr_stream").collect()
     }
     assert got == {100: ("exact", 3), 101: ("new", None)}
+
+
+def test_randomized_invariants_vs_python_reference(spark):
+    # deterministic randomized corpus over a 5-token vocab so exact
+    # collisions and near-misses both occur; the exact stage is checked
+    # against a pure-python reference, the near stage against invariants
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+
+    def mk():
+        return " ".join(rng.choice(vocab, size=int(rng.integers(5, 12))))
+
+    corpus_rows = [(i, mk()) for i in range(30)]
+    snap_rows = [(100 + i, mk()) for i in range(30)]
+
+    fp = corpus_fingerprints(
+        spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+        "text", "doc_id",
+    )
+    out = incremental_dedup(
+        spark.createDataFrame(snap_rows, "doc_id long, text string"),
+        fp, "text", "doc_id",
+    ).collect()
+
+    # exactly one verdict row per snapshot doc
+    assert sorted(r.doc_id for r in out) == [100 + i for i in range(30)]
+
+    by_hash = {}
+    for i, t in corpus_rows:
+        h = hashlib.md5(t.encode()).hexdigest()
+        by_hash[h] = min(by_hash.get(h, i), i)
+    corpus_ids = {i for i, _ in corpus_rows}
+    expect_exact = {
+        d: by_hash[hashlib.md5(t.encode()).hexdigest()]
+        for d, t in snap_rows
+        if hashlib.md5(t.encode()).hexdigest() in by_hash
+    }
+    got_exact = {r.doc_id: r.match_id for r in out if r.verdict == "exact"}
+    assert got_exact == expect_exact
+
+    for r in out:
+        if r.verdict == "near":
+            # near never fires where exact should have, and always points
+            # at a real corpus doc
+            assert r.doc_id not in expect_exact
+            assert r.match_id in corpus_ids
+        if r.verdict == "new":
+            assert r.match_id is None

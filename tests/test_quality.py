@@ -115,3 +115,37 @@ def test_verdict_consistent_with_signal_tables(spark):
         )
         assert r["pass_lang"] == (lid[i]["lang_pred"] == "en")
         assert r["lang_pred"] == lid[i]["lang_pred"]
+
+
+def test_classifier_filter_logit_and_modes(spark):
+    from geomesa_spark.operators.quality import classifier_filter
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick fox and the lazy dog in the sun"),  # stopword-rich
+            (1, "$$$ 111 %%% 222 ^^^ 333 &&& 444 *** 555"),    # symbol/digit noise
+            (2, None),                                          # no output row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in classifier_filter(df, "text", "doc_id").collect()}
+    assert set(got) == {0, 1}
+    assert got[0].keep and got[0].logit > 0
+    assert not got[1].keep and got[1].logit < 0
+    kept = classifier_filter(df, "text", "doc_id", mode="drop")
+    assert [r.doc_id for r in kept.collect()] == [0]
+    assert "text" in kept.columns and "logit" in kept.columns
+
+
+def test_classifier_filter_custom_weights_and_threshold(spark):
+    from geomesa_spark.operators.quality import classifier_filter
+
+    df = spark.createDataFrame([(0, "five words of plain text")],
+                               "doc_id long, text string")
+    # bias-only model: logit == round(bias, 6) regardless of text
+    r = classifier_filter(df, "text", "doc_id", weights=(), bias=0.25,
+                          threshold=0.3).collect()[0]
+    assert r.logit == 0.25 and not r.keep
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        classifier_filter(df, mode="bogus")
