@@ -1723,6 +1723,45 @@ def _q_incr_dedup(spark, sf_dir):
     return incremental_dedup(snapshot, fp, "text", "doc_id", threshold=0.5)
 
 
+def _q_extract_outlinks(spark, sf_dir):
+    """WAT-style href extraction (webpages.extract_outlinks) over pages
+    whose <nav> block plants the _host_links targets (j=2 single-quoted
+    to exercise both attribute styles; hosts h%11==3 emit no nav; a
+    relative href is planted and must NOT be extracted). The oracle
+    rebuilds the identical html arithmetically and runs the same two
+    RE2-subset regexes in DuckDB — regex semantics parity, not just row
+    parity. extract_outlinks → host_graph reproduces link_graph."""
+    from geomesa_spark.sources.webpages import extract_outlinks
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    g = F.floor(did / 3).cast("long")
+    h = g % 997
+
+    def a(j, quote):
+        return F.format_string(
+            f"<a href={quote}https://site%d.example/{quote}>t{j}</a>",
+            (h * 31 + F.lit(j) * 97 + g % 13) % 997,
+        )
+
+    nav = F.when(
+        h % 11 != 3, F.concat(a(1, '"'), a(2, "'"), a(3, '"'))
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><nav>"),
+            nav,
+            F.lit('</nav><p>x</p><a href="/rel">rel</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = docs.select(
+        F.format_string("https://site%d.example/p/%d", h, did).alias("url"),
+        html.alias("html"),
+    )
+    return extract_outlinks(pages)
+
+
 def _q_classifier_score(spark, sf_dir):
     """Linear quality-classifier scoring (quality.classifier_filter, flag
     mode, declared stand-in weights): logit = round(bias + Σ w·feature, 6)
@@ -1922,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50 checked slots are spoken for; verified by the local gate)
         "crawl_frontier": _q_crawl_frontier,
         "classifier_score": _q_classifier_score,
+        "extract_outlinks": _q_extract_outlinks,
     }
 
 
@@ -3199,6 +3239,39 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - least(0.5, n_punct / sc) - least(0.3, n_digit / sc)
                          + least(0.2, n_stop / st), 6) AS quality_score
             FROM r
+        """,
+        # twin of webpages.extract_outlinks: the html is rebuilt
+        # arithmetically and DuckDB runs the SAME two RE2-subset regexes
+        # (backref-free by design) — parity of the regex semantics
+        "extract_outlinks": """
+            WITH pg AS (
+              SELECT doc_id, doc_id // 3 AS g, (doc_id // 3) % 997 AS h
+              FROM documents
+            ),
+            nv AS (
+              SELECT doc_id, g, h,
+                CASE WHEN h % 11 <> 3 THEN
+                  printf('<a href="https://site%d.example/">t1</a>',
+                         (h * 31 + 97 + g % 13) % 997)
+                  || printf('<a href=''https://site%d.example/''>t2</a>',
+                            (h * 31 + 194 + g % 13) % 997)
+                  || printf('<a href="https://site%d.example/">t3</a>',
+                            (h * 31 + 291 + g % 13) % 997)
+                ELSE '' END AS nav
+              FROM pg
+            ),
+            page AS (
+              SELECT printf('https://site%d.example/p/%d', h, doc_id) AS url,
+                     '<html><body><nav>' || nav ||
+                     '</nav><p>x</p><a href="/rel">rel</a></body></html>' AS html
+              FROM nv
+            )
+            SELECT url,
+                   unnest(list_concat(
+                     regexp_extract_all(html, 'href="(https?://[^"]+)"', 1),
+                     regexp_extract_all(html, 'href=''(https?://[^'']+)''', 1)
+                   )) AS outlink
+            FROM page
         """,
         # twin of quality.classifier_filter (flag mode, stand-in weights):
         # the same left-to-right weighted sum over the same rounded

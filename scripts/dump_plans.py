@@ -118,6 +118,7 @@ AUDIT = [
     ("incr_dedup", "hash/band equi-joins only (exact join, band match, verify re-attach); no cartesian, no global sort"),
     ("crawl_frontier", "broadcast rank join over the delta full-outer; cap_per_group split (broadcast pass-through + WindowGroupLimit over-slice)"),
     ("classifier_score", "ZERO exchanges: weighted feature sum is one codegen map over the scan"),
+    ("extract_outlinks", "ZERO exchanges: cast + two regexp_extract_all + explode, one codegen map"),
 ]
 
 FLAGS = [

@@ -255,3 +255,43 @@ def test_blocklist_filter_plan_broadcasts(spark):
     plan = blocklist_filter(df, ["h3.x"], mode="clean")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_extract_outlinks_quotes_relatives_and_composition(spark):
+    from geomesa_spark.operators.webgraph import host_graph
+    from geomesa_spark.functions.urls import url_host
+    from geomesa_spark.sources.webpages import extract_outlinks
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://src.example/1",
+                '<a href="https://a.example/x">A</a>'
+                "<a href='http://b.example/y'>B</a>"
+                '<a href="/relative">rel</a>'
+                '<a href="ftp://c.example/z">ftp</a>',
+            ),
+            ("https://src.example/2", "<p>no links at all</p>"),
+            ("https://src.example/3", '<a href="https://a.example/x2">A2</a>'),
+        ],
+        "url string, html string",
+    )
+    pages = pages.select("url", F.encode("html", "UTF-8").alias("html"))
+    out = extract_outlinks(pages).collect()
+    got = {(r.url, r.outlink) for r in out}
+    # absolute http/https from either quote style; relative + ftp ignored;
+    # link-free pages emit nothing
+    assert got == {
+        ("https://src.example/1", "https://a.example/x"),
+        ("https://src.example/1", "http://b.example/y"),
+        ("https://src.example/3", "https://a.example/x2"),
+    }
+    # the real pipeline seam: outlinks -> host edges
+    links = extract_outlinks(pages).select(
+        url_host(F.col("url")).alias("src"), url_host(F.col("outlink")).alias("dst")
+    )
+    edges = {(r.src, r.dst): r.n_links for r in host_graph(links).collect()}
+    assert edges == {
+        ("src.example", "a.example"): 2,
+        ("src.example", "b.example"): 1,
+    }
