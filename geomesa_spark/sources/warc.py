@@ -76,6 +76,27 @@ def warc_record_expr(
     )
 
 
+def wet_record_expr(
+    url: Column,
+    ts: Column,
+    extracted_text: Column,
+    record_id: Column,
+) -> Column:
+    """One WET record (WARC/1.0 ``conversion`` record, text/plain payload)
+    — the extracted-text sibling of the WARC response record, exactly the
+    format Common Crawl ships as ``.wet`` files. With
+    :func:`~geomesa_spark.sources.webpages.extract_text` producing the
+    payload and :func:`extract_outlinks` covering WAT, the crawl artifact
+    triple (WARC / WAT / WET) is complete. Same zero-shuffle codegen
+    concat as :func:`warc_record_expr`; :func:`parse_warc` reads it back
+    (rectype ``conversion``), pinned by test_warc.
+    """
+    return warc_record_expr(
+        url, ts, extracted_text, record_id,
+        warc_type="conversion", content_type="text/plain",
+    )
+
+
 def warc_buffers(
     df: DataFrame,
     record_col: str,

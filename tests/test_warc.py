@@ -122,3 +122,37 @@ def test_read_warc_ranges(spark, tmp_path):
     assert {bytes(r["payload"]).decode() for r in out} == {
         f"body-{i}" for i in range(6)
     }
+
+
+def test_wet_record_build_and_parse_roundtrip(spark):
+    from geomesa_spark.sources.warc import (
+        parse_warc,
+        warc_buffers,
+        wet_record_expr,
+    )
+    from geomesa_spark.sources.webpages import extract_text
+
+    pages = spark.createDataFrame(
+        [
+            (0, "https://ex.com/a", "2024-03-01 10:00:00",
+             "<html><body><p>hello wet world</p></body></html>"),
+            (1, "https://ex.com/b", "2024-03-01 11:00:00",
+             "<html><body><p>second page</p></body></html>"),
+        ],
+        "doc_id long, url string, ts string, html_s string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pages = pages.select(
+        "doc_id", "url", "ts", F.encode("html_s", "UTF-8").alias("html")
+    )
+    rec = wet_record_expr(
+        F.col("url"), F.col("ts"), extract_text(F.col("html")),
+        F.format_string("%08x-0000-4000-8000-000000000000", F.col("doc_id")),
+    )
+    w = pages.select("doc_id", F.lit(0).alias("bucket"), rec.alias("rec"))
+    parsed = parse_warc(warc_buffers(w, "rec", "doc_id", "bucket")).collect()
+    got = {r.target_uri: r for r in parsed}
+    assert set(got) == {"https://ex.com/a", "https://ex.com/b"}
+    # conversion rectype, text/plain payload == the extracted text
+    assert all(r.warc_type == "conversion" for r in parsed)
+    assert bytes(got["https://ex.com/a"].payload).decode() == "hello wet world"
+    assert bytes(got["https://ex.com/b"].payload).decode() == "second page"
