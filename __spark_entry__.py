@@ -1723,6 +1723,18 @@ def _q_incr_dedup(spark, sf_dir):
     return incremental_dedup(snapshot, fp, "text", "doc_id", threshold=0.5)
 
 
+def _q_postings(spark, sf_dir):
+    """Inverted-index postings build (scoring.build_postings, k=3,
+    min_df=2): per term the document frequency and the top-3 docs by
+    (tf DESC, doc ASC). Skew-shaped: map-side-combined tf agg,
+    WindowGroupLimit partial top-k, df from a separate term-keyed count
+    (never a window over raw postings) joined to the capped rows."""
+    from geomesa_spark.operators.scoring import build_postings
+
+    docs = _docs(_utc(spark), sf_dir).select("doc_id", "text")
+    return build_postings(docs, "text", "doc_id", k=3, min_df=2)
+
+
 def _q_extract_outlinks(spark, sf_dir):
     """WAT-style href extraction (webpages.extract_outlinks) over pages
     whose <nav> block plants the _host_links targets (j=2 single-quoted
@@ -1962,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "classifier_score": _q_classifier_score,
         "extract_outlinks": _q_extract_outlinks,
+        "postings": _q_postings,
     }
 
 
@@ -3239,6 +3252,35 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - least(0.5, n_punct / sc) - least(0.3, n_digit / sc)
                          + least(0.2, n_stop / st), 6) AS quality_score
             FROM r
+        """,
+        # twin of scoring.build_postings: same tokenizer, same
+        # (tf DESC, doc ASC) rank cut, df from a separate term count
+        "postings": """
+            WITH t AS (
+              SELECT doc_id AS doc,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT term, doc, CAST(count(*) AS BIGINT) AS tf
+              FROM t GROUP BY term, doc
+            ),
+            dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df_term
+              FROM tf GROUP BY term HAVING count(*) >= 2
+            ),
+            r AS (
+              SELECT term, doc, tf,
+                     CAST(row_number() OVER (
+                       PARTITION BY term ORDER BY tf DESC, doc ASC)
+                       AS INTEGER) AS rnk
+              FROM tf
+            )
+            SELECT r.term, dfq.df_term, r.doc, r.tf, r.rnk
+            FROM r JOIN dfq USING (term)
+            WHERE r.rnk <= 3
         """,
         # twin of webpages.extract_outlinks: the html is rebuilt
         # arithmetically and DuckDB runs the SAME two RE2-subset regexes

@@ -446,7 +446,7 @@ def _time_queries(spark) -> dict[str, float]:
         # appended late-r5 second batch (anchor corpus + incremental dedup
         # + frontier scheduling + linear quality classifier)
         "anchor_terms", "incr_dedup", "crawl_frontier", "classifier_score",
-        "extract_outlinks",
+        "extract_outlinks", "postings",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

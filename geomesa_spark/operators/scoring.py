@@ -608,3 +608,50 @@ def bucket_by_thresholds(
         .otherwise(F.lit("tail"))
         .alias("label"),
     )
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted-index postings with per-term caps — the serving-side
+    artifact :func:`bm25` scores against on the fly. Search-backed data
+    curation (dedup against an index, retrieval-based decontamination,
+    RETRO-style neighbor lookup) stores exactly this: per term, the
+    document frequency and the top documents by term frequency.
+
+    Returns one row per retained posting: ``(term, df_term bigint,
+    doc, tf bigint, rnk int)`` with ``rnk`` the 1-based rank by
+    ``(tf DESC, doc ASC)`` — the doc tiebreak makes the cut
+    deterministic — capped at ``k`` per term; terms with
+    ``df_term < min_df`` drop entirely (hapax noise).
+
+    Scale shape (10^12 docs): the explode emits (term, doc) pairs but the
+    tf aggregate is map-side combined, so the exchange carries distinct
+    (term, doc) partials. The top-``k`` cut is the WindowGroupLimit
+    partial-top-k discipline (at most ``k`` rows per (term, partition)
+    ever reach the window exchange — a stopword with 10^12 postings ships
+    k·P rows, never its posting list). ``df_term`` comes from a SEPARATE
+    map-side-combined count keyed by term — deliberately NOT a
+    ``count(*) over (partition by term)`` window, which would shuffle
+    every posting of the hottest term to one task — joined back to the
+    already-capped rows (both sides ≤ |vocab|-bounded). Same tokenizer
+    as :func:`bm25`/``textstats`` so artifacts compose.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc").asc())
+    topk = tf.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df_term"))
+        .filter(F.col("df_term") >= min_df)
+    )
+    return topk.join(dfreq, "term").select("term", "df_term", "doc", "tf", "rnk")

@@ -119,6 +119,7 @@ AUDIT = [
     ("crawl_frontier", "broadcast rank join over the delta full-outer; cap_per_group split (broadcast pass-through + WindowGroupLimit over-slice)"),
     ("classifier_score", "ZERO exchanges: weighted feature sum is one codegen map over the scan"),
     ("extract_outlinks", "ZERO exchanges: cast + two regexp_extract_all + explode, one codegen map"),
+    ("postings", "map-side-combined tf agg; WindowGroupLimit partial top-k; df from a term-keyed agg, never a window over raw postings"),
 ]
 
 FLAGS = [

@@ -303,3 +303,43 @@ def test_dsir_resample_validation(docs):
         dsir_resample(w, k=0)
     with pytest.raises(ValueError):
         dsir_resample(w, k=1, temperature=0.0)
+
+
+def test_build_postings_cap_df_threshold_and_tiebreak(spark):
+    from geomesa_spark.operators.scoring import build_postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple banana banana"),
+            (3, "apple cherry"),
+            (4, "Unique hapax"),       # df=1 terms drop at min_df=2
+        ],
+        "doc_id long, text string",
+    )
+    rows = build_postings(df, "text", "doc_id", k=2, min_df=2).collect()
+    got = {(r.term, r.rnk): (r.doc, r.tf, r.df_term) for r in rows}
+    # apple: tf 2@1, 1@2, 1@3 -> top-2 = doc1 then doc2 (doc ASC tiebreak)
+    assert got[("apple", 1)] == (1, 2, 3)
+    assert got[("apple", 2)] == (2, 1, 3)
+    # banana: tf 2@2, 1@1
+    assert got[("banana", 1)] == (2, 2, 2)
+    assert got[("banana", 2)] == (1, 1, 2)
+    # cherry/unique/hapax: df 1 -> gone; k caps apple at 2 rows
+    assert {t for t, _ in got} == {"apple", "banana"}
+    assert len([1 for (t, _) in got if t == "apple"]) == 2
+
+
+def test_build_postings_plan_partial_topk(spark):
+    from geomesa_spark.operators.scoring import build_postings
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (
+        build_postings(df, "text", "doc_id", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # hot-term guard: the per-term cut must be a WindowGroupLimit
+    # (partial top-k before the window exchange), and df_term must come
+    # from an aggregate, never a count-over-window on raw postings
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Window [row_number()") == 1
