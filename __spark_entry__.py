@@ -1819,6 +1819,43 @@ def _q_blocklist(spark, sf_dir):
     return blocklist_filter(p, _BLOCKED_DOMAINS, mode="flag")
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (ann.semantic_dedup) over the real
+    embeddings table plus IEEE-exact 2x copies of vec_id < 30 planted in
+    BOTH engines (power-of-two scaling preserves every cosine bit-exactly
+    — numerator and norm both scale by exactly 2 — so each copy lands in
+    its base's cell with cosine exactly 1). The verdict is FP-robust
+    cross-engine: the closest natural pair sits at cos 0.60 (sf0.1), far
+    under the 0.8 cut, and the smallest assignment-argmax margin is
+    4.7e-5, ten orders above summation-order noise. Centroids are the
+    embeddings of vec_id < 8 — the injectable-index production shape
+    (train_ivf_centroids output in a real deployment); a data-derived
+    fixture here so the DuckDB twin reconstructs the SAME centroids in
+    SQL."""
+    from geomesa_spark.operators.ann import semantic_dedup
+
+    import numpy as _np
+
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    cents = _np.array(
+        [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ],
+        dtype=_np.float64,
+    )
+    return semantic_dedup(corpus, cents, threshold=0.8).select(
+        "vec_id", "cell", "keep"
+    )
+
+
 def _q_sql_functions(spark, sf_dir):
     """The registered st_* SQL surface driving a plain spark.sql query.
     Distances stay internal (numpy vs libm trig can differ in the last
@@ -1975,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _q_classifier_score,
         "extract_outlinks": _q_extract_outlinks,
         "postings": _q_postings,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -3281,6 +3319,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.term, dfq.df_term, r.doc, r.tf, r.rnk
             FROM r JOIN dfq USING (term)
             WHERE r.rnk <= 3
+        """,
+        # twin of ann.semantic_dedup: same planted 2x copies, same
+        # argmax-cosine assignment (lowest-cell tie-break), same
+        # triangular drop rule (smaller-id same-cell member at cos>=0.8)
+        "semdedup": """
+            WITH corpus AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+              FROM embeddings WHERE vec_id < 30
+            ),
+            cents AS (
+              SELECT vec_id AS cell,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+              FROM embeddings WHERE vec_id < 8
+            ),
+            a AS (
+              SELECT c.vec_id, t.cell,
+                     row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.ev, t.ce) DESC,
+                                t.cell ASC) AS rn
+              FROM corpus c CROSS JOIN cents t
+            ),
+            members AS (
+              SELECT a.vec_id, a.cell, c.ev
+              FROM a JOIN corpus c ON c.vec_id = a.vec_id
+              WHERE a.rn = 1
+            ),
+            dropped AS (
+              SELECT DISTINCT d.vec_id
+              FROM members d JOIN members e
+                ON e.cell = d.cell AND e.vec_id < d.vec_id
+              WHERE list_cosine_similarity(d.ev, e.ev) >= 0.8
+            )
+            SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell,
+                   (dr.vec_id IS NULL) AS keep
+            FROM members m LEFT JOIN dropped dr ON dr.vec_id = m.vec_id
         """,
         # twin of webpages.extract_outlinks: the html is rebuilt
         # arithmetically and DuckDB runs the SAME two RE2-subset regexes

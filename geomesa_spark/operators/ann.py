@@ -241,6 +241,105 @@ def embedding_near_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cap: int = 20_000,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then prune within clusters.
+
+    The missing member of the dedup family (exact hash / MinHash-lexical /
+    SimHash / n-gram Jaccard / pairwise-embedding): duplicates that are
+    *semantic* rewrites rather than lexical near-copies. Published recipe
+    (Abbas et al. 2023, "SemDeDup"): k-means the embeddings into cells,
+    then inside each cell drop every vector whose cosine to a
+    higher-priority cell member reaches ``threshold``. Priority here is
+    ascending ``id_col`` (deterministic; the paper's
+    distance-to-centroid ordering is a one-line swap), so the verdict is
+    exactly SQL-expressible: drop(d) iff EXISTS e in the same cell with
+    e.id < d.id and cos(e, d) >= threshold.
+
+    Returns (id_col, cell int, keep boolean) — one row per input vector.
+
+    Scale shape (the 100 TB contract):
+    * ``centroids`` are the one-time SAMPLED k-means artifact
+      (:func:`train_ivf_centroids`), passed in like the IVF query path —
+      training is index-build cost, never per-run.
+    * Assignment is an Arrow map stage; the only corpus shuffle is the
+      groupBy(cell) for :meth:`applyInPandas`. Cell sizes ride a
+      broadcast join (tiny: one row per cell), never a window over the
+      corpus. The sizes branch re-runs the scan+assign subtree (same
+      recompute-vs-persist trade as the boilerplate group sizes); at
+      warehouse scale persist the cell id as a layout column
+      (:func:`assign_ivf_cells`) and both passes become column reads.
+    * Within a cell the verdict is a blocked Gram matmul
+      (``block_rows`` x n_cell, never n^2 resident), so a 20k-row cell
+      peaks at ~160 MB. Cells beyond ``cell_cap`` sub-shard
+      deterministically (crc32(id) mod ceil(n/cap)) and prune within
+      each shard — the same hot-key recall trade every capped candidate
+      generator in this repo makes (minhash bucket_cap, jaccard
+      max_gram_df): a monster cell degrades recall, never blows memory.
+      Size n_cells so cells land well under the cap (the paper runs
+      ~2k-row clusters).
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    # normalize defensively: assignment must be argmax COSINE (matching
+    # the spherical trainer and the SQL twin), not argmax dot-product
+    cents = cents / np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
+    assigned = assign_ivf_cells(emb.select(id_col, vec_col), cents, vec_col)
+
+    sizes = assigned.groupBy("__cell").agg(F.count("*").alias("__n"))
+    sharded = (
+        assigned.join(F.broadcast(sizes), "__cell")
+        .withColumn(
+            "__shard",
+            F.when(F.col("__n") <= cell_cap, F.lit(0)).otherwise(
+                F.pmod(
+                    F.crc32(F.col(id_col).cast("string")),
+                    F.ceil(F.col("__n") / F.lit(cell_cap)).cast("long"),
+                ).cast("int")
+            ),
+        )
+        .drop("__n")
+    )
+
+    thr = float(threshold)
+    blk = int(block_rows)
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mn = m / np.maximum(1e-12, np.linalg.norm(m, axis=1, keepdims=True))
+        n = len(mn)
+        keep = np.ones(n, dtype=bool)
+        # blocked lower-triangular Gram: row i checks columns j < i only,
+        # independent of other rows' verdicts (the triangular rule), so
+        # blocks are embarrassingly independent and memory is O(blk * n)
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            g = mn[i0:i1] @ mn[:i1].T  # (blk, i1)
+            cols = np.arange(i1)
+            rows = np.arange(i0, i1)[:, None]
+            g[cols[None, :] >= rows] = -2.0  # mask j >= i (incl. self)
+            keep[i0:i1] = ~(g >= thr).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "cell": pdf["__cell"].astype("int32").values,
+                "keep": keep,
+            }
+        )
+
+    return sharded.groupBy("__cell", "__shard").applyInPandas(
+        prune, f"{id_col} {id_type}, cell int, keep boolean"
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_cells: int,

@@ -60,6 +60,10 @@ FORBID = {
     "link_graph": ["SortMergeJoin", "Window", "Exchange rangepartitioning"],
     "host_degrees": ["SortMergeJoin", "Window", "Exchange rangepartitioning"],
     "domain_mixture": ["SortMergeJoin", "Window", "Exchange rangepartitioning"],
+    # cell sizes must ride the explicit broadcast; a window over the
+    # corpus (or an SMJ re-keying it) means the skew guard regressed to
+    # a second corpus shuffle
+    "semdedup": ["SortMergeJoin", "Window"],
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: their build
@@ -120,6 +124,7 @@ AUDIT = [
     ("classifier_score", "ZERO exchanges: weighted feature sum is one codegen map over the scan"),
     ("extract_outlinks", "ZERO exchanges: cast + two regexp_extract_all + explode, one codegen map"),
     ("postings", "map-side-combined tf agg; WindowGroupLimit partial top-k; df from a term-keyed agg, never a window over raw postings"),
+    ("semdedup", "Arrow assign stage; cell sizes broadcast (never a corpus window); ONE (cell,shard)-keyed FlatMapGroupsInPandas"),
 ]
 
 FLAGS = [
