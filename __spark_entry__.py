@@ -1856,6 +1856,29 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_dedup_select(spark, sf_dir):
+    """Canonical-document selection (dedup.select_canonical) over the
+    chain-graph clusters — same fixture as dedup_components, whose
+    component id has the closed form doc_id - doc_id % 50 — with
+    text_quality's 6-decimal quality_score as the keep priority: per
+    cluster keep the highest-scoring member, ties to the smallest id.
+    The engine's single max_by over the (score, -id) struct equals the
+    oracle's two-step cut (max score per component, then min id among
+    the score ties); quality_score itself already hash-matches the
+    oracle (the text_quality row), so the argmax decisions are exact."""
+    from geomesa_spark.operators.dedup import select_canonical
+    from geomesa_spark.operators.textstats import text_quality
+
+    docs = _docs(_utc(spark), sf_dir)
+    q = text_quality(docs, "text", "doc_id").select("doc_id", "quality_score")
+    members = q.select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 50).alias("component"),
+        "quality_score",
+    )
+    return select_canonical(members)
+
+
 def _q_sql_functions(spark, sf_dir):
     """The registered st_* SQL surface driving a plain spark.sql query.
     Distances stay internal (numpy vs libm trig can differ in the last
@@ -2013,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": _q_extract_outlinks,
         "postings": _q_postings,
         "semdedup": _q_semdedup,
+        "dedup_select": _q_dedup_select,
     }
 
 
@@ -3360,6 +3384,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell,
                    (dr.vec_id IS NULL) AS keep
             FROM members m LEFT JOIN dropped dr ON dr.vec_id = m.vec_id
+        """,
+        # twin of dedup.select_canonical: closed-form chain components
+        # (doc_id - doc_id % 50, the dedup_components fixture), the
+        # text_quality score arithmetic, and the two-step keep cut
+        # (max score per component, then min id among score ties)
+        "dedup_select": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       AS n_punct,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS n_digit,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x IN ({stop_list}))) AS n_stop
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                     doc_id - (doc_id % 50) AS component,
+                     round(1.0
+                           - least(0.5, n_punct / CAST(greatest(1, n_chars) AS DOUBLE))
+                           - least(0.3, n_digit / CAST(greatest(1, n_chars) AS DOUBLE))
+                           + least(0.2, n_stop / CAST(greatest(1, n_tokens) AS DOUBLE)),
+                           6) AS qs
+              FROM m
+            ),
+            mx AS (SELECT component, max(qs) AS ms FROM q GROUP BY component),
+            keepers AS (
+              SELECT q.component, min(q.doc_id) AS keep_id
+              FROM q JOIN mx ON mx.component = q.component AND q.qs = mx.ms
+              GROUP BY q.component
+            )
+            SELECT q.doc_id, q.component, (q.doc_id = k.keep_id) AS keep
+            FROM q JOIN keepers k ON k.component = q.component
         """,
         # twin of webpages.extract_outlinks: the html is rebuilt
         # arithmetically and DuckDB runs the SAME two RE2-subset regexes

@@ -744,3 +744,50 @@ def incremental_dedup(
         )
     )
     return matched.unionByName(novel).withColumnRenamed("__nid", id_col)
+
+
+def select_canonical(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical-document selection: per duplicate cluster, keep the best.
+
+    The pipeline step downstream of near-dup clustering
+    (:func:`minhash_near_pairs` -> ``connected_components``): given one
+    row per (doc, cluster) with a quality score attached, keep exactly
+    the highest-scoring member (ties break to the smallest id — fully
+    deterministic, never "whichever task finished first"). This replaces
+    the naive keep-min-id rule with the quality-aware rule real corpus
+    builds use: duplicates differ in boilerplate, truncation, or
+    encoding damage, and the kept copy should be the cleanest.
+
+    Returns ``members``' (id, component) plus a ``keep`` boolean — one
+    row per input member, the filterable verdict shape shared by the
+    other dedup surfaces.
+
+    Scale shape: ONE map-side-combined aggregate per cluster (max_by
+    over a (score, -id) struct: lexicographic max = highest score, then
+    smallest id) and one equi-join of the winner table back on the
+    cluster key — both shuffles carry (cluster, id/score) pairs only,
+    never text. Cluster count ~ corpus/dup-rate, so the winner table is
+    corpus-sized in the worst case: it stays an equi-join, deliberately
+    NOT a broadcast.
+    """
+    ids = members.select(
+        F.col(id_col).alias("__id"),
+        F.col(comp_col).alias("__comp"),
+        F.col(score_col).alias("__score"),
+    )
+    winners = ids.groupBy("__comp").agg(
+        F.expr("max_by(__id, named_struct('s', __score, 'i', -__id))").alias("__keep_id")
+    )
+    return (
+        ids.join(winners, "__comp")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__comp").alias(comp_col),
+            (F.col("__id") == F.col("__keep_id")).alias("keep"),
+        )
+    )
