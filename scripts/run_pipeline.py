@@ -127,10 +127,23 @@ def main() -> None:
 
     reps = exact_dedup(clean, "text", "doc_id").select("doc_id")
     exact_unique = clean.join(reps, "doc_id")
+    # near-dup pairs -> clusters -> QUALITY-AWARE canonical selection: the
+    # kept copy per cluster is the highest-scoring member (ties to the
+    # smallest id), not whichever side of the pair happened to be id_b.
+    # Docs outside every cluster are implicit keepers (left_anti on drops).
+    from geomesa_spark.operators.components import connected_components
+    from geomesa_spark.operators.dedup import select_canonical
+
+    near_pairs = minhash_lsh_pairs(
+        exact_unique, "text", "doc_id", threshold=0.8
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    members = connected_components(near_pairs).join(
+        quality.select(F.col("doc_id").alias("node"), "quality_score"), "node"
+    )
     near_drop = (
-        minhash_lsh_pairs(exact_unique, "text", "doc_id", threshold=0.8)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+        select_canonical(members, id_col="node", comp_col="component")
+        .filter(~F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
     )
     deduped = exact_unique.join(near_drop, "doc_id", "left_anti")
     deduped = checkpoint_stage(deduped, work, "docs_dedup")
