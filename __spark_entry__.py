@@ -1856,6 +1856,42 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_incr_semdedup(spark, sf_dir):
+    """Incremental semantic dedup (ann.incremental_semantic_dedup): a
+    planted snapshot — 0.5x scaled copies of vec_id < 40 (cosine exactly
+    1 to their base; power-of-two scaling is cosine-preserving bit-for-
+    bit) and NEGATED copies of 40 <= vec_id < 80 (max cosine vs the whole
+    corpus 0.484, below the 0.8 cut) — classified against the real
+    embeddings corpus via cell probe + exact cosine. match_id is the
+    smallest matching corpus id (integer-deterministic; never
+    best-by-sim). FP margins verified: negated-row assignment argmax
+    margin >= 2.2e-3, verdict gap 0.484 vs 0.8."""
+    from geomesa_spark.operators.ann import incremental_semantic_dedup
+
+    import numpy as _np
+
+    emb = _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup_rows = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    new_rows = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)).select(
+        (F.col("vec_id") + 6000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    snapshot = dup_rows.unionByName(new_rows)
+    cents = _np.array(
+        [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ],
+        dtype=_np.float64,
+    )
+    return incremental_semantic_dedup(snapshot, emb, cents, threshold=0.8)
+
+
 def _q_dedup_select(spark, sf_dir):
     """Canonical-document selection (dedup.select_canonical) over the
     chain-graph clusters — same fixture as dedup_components, whose
@@ -2037,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "semdedup": _q_semdedup,
         "dedup_select": _q_dedup_select,
+        "incr_semdedup": _q_incr_semdedup,
     }
 
 
@@ -3384,6 +3421,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell,
                    (dr.vec_id IS NULL) AS keep
             FROM members m LEFT JOIN dropped dr ON dr.vec_id = m.vec_id
+        """,
+        # twin of ann.incremental_semantic_dedup: same planted snapshot
+        # (0.5x copies dup, negated rows new), same argmax-cosine cell
+        # assignment on BOTH sides, same min-matching-id choice
+        "incr_semdedup": """
+            WITH corpus AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings
+            ),
+            snap AS (
+              SELECT vec_id + 5000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5) AS ev
+              FROM embeddings WHERE vec_id < 40
+              UNION ALL
+              SELECT vec_id + 6000,
+                     list_transform(embedding, x -> -CAST(x AS DOUBLE))
+              FROM embeddings WHERE vec_id >= 40 AND vec_id < 80
+            ),
+            cents AS (
+              SELECT vec_id AS cell,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+              FROM embeddings WHERE vec_id < 8
+            ),
+            sa AS (
+              SELECT vec_id, cell FROM (
+                SELECT s.vec_id, t.cell,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id
+                         ORDER BY list_cosine_similarity(s.ev, t.ce) DESC,
+                                  t.cell ASC) AS rn
+                FROM snap s CROSS JOIN cents t) WHERE rn = 1
+            ),
+            ca AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, t.cell,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(c.ev, t.ce) DESC,
+                                  t.cell ASC) AS rn
+                FROM corpus c CROSS JOIN cents t) WHERE rn = 1
+            ),
+            cand AS (
+              SELECT sa.vec_id, sa.cell, ca.vec_id AS cid,
+                     list_cosine_similarity(s.ev, c.ev) AS sim
+              FROM sa
+              JOIN snap s ON s.vec_id = sa.vec_id
+              JOIN ca ON ca.cell = sa.cell
+              JOIN corpus c ON c.vec_id = ca.vec_id
+            )
+            SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+                   CASE WHEN count(*) FILTER (WHERE sim >= 0.8) > 0
+                        THEN 'dup' ELSE 'new' END AS verdict,
+                   min(cid) FILTER (WHERE sim >= 0.8) AS match_id,
+                   CAST(count(*) FILTER (WHERE sim >= 0.8) AS BIGINT)
+                     AS n_matches
+            FROM cand GROUP BY vec_id, cell
         """,
         # twin of dedup.select_canonical: closed-form chain components
         # (doc_id - doc_id % 50, the dedup_components fixture), the

@@ -510,3 +510,84 @@ def ivf_cosine_topk(
     cand = assigned.join(F.broadcast(qdf), "__cell").drop("__cell")
     scored = cand.withColumn("sim", _cos_udf()(F.col(vec_col), F.col("q_vec")))
     return _topk_window(scored, k, id_col).select("query_id", id_col, "sim", "rank")
+
+
+def incremental_semantic_dedup(
+    snapshot: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_cell_col: str | None = None,
+) -> DataFrame:
+    """Incremental SEMANTIC dedup: classify a snapshot against a corpus.
+
+    The embedding twin of the lexical ``incremental_dedup`` (MinHash
+    band match): each new vector is checked only against corpus members
+    of its own centroid cell — exactly an IVF probe (nprobe=1) batched
+    over the snapshot — then verified with exact cosine. Returns one row
+    per snapshot vector: (id, cell, verdict 'dup'|'new', match_id,
+    n_matches), where match_id is the SMALLEST matching corpus id (an
+    integer-deterministic choice: best-by-similarity would hinge on FP
+    ordering between near-equal sims).
+
+    Scale shape: the corpus side is the one-time cell layout — pass
+    ``corpus_cell_col`` naming a persisted assignment column (see
+    :func:`assign_ivf_cells`) and a daily snapshot never re-assigns or
+    re-shuffles the corpus: the plan is snapshot-assign (Arrow map) +
+    cell equi-join + candidate-only cosine verify + one snapshot-keyed
+    aggregate. Candidates per snapshot row = its cell's occupancy, so
+    size the centroid count for the cell occupancy you can afford —
+    identical to the IVF search contract.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
+
+    sn = assign_ivf_cells(snapshot.select(id_col, vec_col), cents, vec_col)
+    if corpus_cell_col is not None:
+        co = corpus.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            F.col(corpus_cell_col).alias("__cell"),
+        )
+    else:
+        co = assign_ivf_cells(corpus.select(id_col, vec_col), cents, vec_col).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            "__cell",
+        )
+
+    thr = float(threshold)
+    if thr <= 0.0:
+        # the empty-cell placeholder below scores exactly 0, so a
+        # non-positive threshold would count phantom matches
+        raise ValueError("incremental_semantic_dedup: threshold must be > 0")
+    cand = sn.join(co, "__cell", "left")
+    # a snapshot row whose cell holds no corpus members keeps its row via
+    # the left join; the Arrow kernel can't take NULL vectors, so missing
+    # corpus vectors become the zero vector (cosine exactly 0 — never a
+    # hit) while __cid stays NULL and can never become a match_id
+    scored = cand.withColumn(
+        "__sim",
+        _cos_udf()(
+            F.coalesce(
+                F.col("__cvec"), F.transform(F.col(vec_col), lambda x: x * F.lit(0.0))
+            ),
+            F.col(vec_col),
+        ),
+    )
+    hit = F.when(F.col("__sim") >= thr, F.lit(1)).otherwise(F.lit(0))
+    agg = scored.groupBy(id_col, "__cell").agg(
+        F.sum(hit).cast("long").alias("n_matches"),
+        F.min(F.when(F.col("__sim") >= thr, F.col("__cid"))).alias("match_id"),
+    )
+    return agg.select(
+        id_col,
+        F.col("__cell").alias("cell"),
+        F.when(F.col("n_matches") > 0, F.lit("dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        "match_id",
+        "n_matches",
+    )

@@ -67,6 +67,9 @@ FORBID = {
     # the verdict must come from the max_by agg + join, never a
     # row_number window over the corpus
     "dedup_select": ["Window"],
+    # verdict/match come from one grouped aggregate, never a
+    # row_number-over-candidates window
+    "incr_semdedup": ["Window"],
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: their build
@@ -129,6 +132,7 @@ AUDIT = [
     ("postings", "map-side-combined tf agg; WindowGroupLimit partial top-k; df from a term-keyed agg, never a window over raw postings"),
     ("semdedup", "Arrow assign stage; cell sizes broadcast (never a corpus window); ONE (cell,shard)-keyed FlatMapGroupsInPandas"),
     ("dedup_select", "ONE component-keyed max_by hash agg + winner equi-join on the same key (deliberately NOT broadcast: winner table ~ cluster count); no window"),
+    ("incr_semdedup", "snapshot Arrow assign; cell equi-join (corpus side = persisted layout at scale); candidate-only cosine verify; ONE snapshot-keyed agg"),
 ]
 
 FLAGS = [

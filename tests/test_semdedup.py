@@ -147,3 +147,55 @@ def test_empty_cells_and_singletons_keep(spark):
     res = semantic_dedup(_emb_df(spark, rows), cents, threshold=0.9).collect()
     got = {r["vec_id"]: (r["cell"], r["keep"]) for r in res}
     assert got == {7: (0, True), 9: (1, True)}
+
+
+# --- incremental semantic dedup (snapshot vs corpus) -----------------------
+
+from geomesa_spark.operators.ann import assign_ivf_cells, incremental_semantic_dedup
+
+
+def test_incremental_dup_new_verdicts(spark):
+    corpus = _emb_df(spark, [(i, _vec(i)) for i in range(30)])
+    cents = np.array([_vec(i) for i in range(4)], dtype=np.float64)
+    snap = _emb_df(
+        spark,
+        [(900 + i, [0.5 * v for v in _vec(i)]) for i in range(5)]  # dups
+        + [(950 + i, [-v for v in _vec(10 + i)]) for i in range(5)],  # new
+    )
+    res = incremental_semantic_dedup(snap, corpus, cents, threshold=0.995).collect()
+    got = {r["vec_id"]: (r["verdict"], r["match_id"], r["n_matches"]) for r in res}
+    assert len(got) == 10
+    for i in range(5):
+        v, mid, n = got[900 + i]
+        assert v == "dup" and mid == i and n >= 1
+    for i in range(5):
+        v, mid, n = got[950 + i]
+        assert v == "new" and mid is None and n == 0
+
+
+def test_incremental_persisted_cell_col_matches_computed(spark):
+    corpus_rows = [(i, _vec(i, dim=10)) for i in range(40)]
+    cents = np.array([_vec(200 + k, dim=10) for k in range(3)], dtype=np.float64)
+    corpus = _emb_df(spark, corpus_rows)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    laid_out = assign_ivf_cells(corpus, cn, cell_col="cell_id")
+    snap = _emb_df(spark, [(700 + i, [2.0 * v for v in _vec(i, dim=10)]) for i in range(6)])
+    a = incremental_semantic_dedup(snap, corpus, cents, threshold=0.99).collect()
+    b = incremental_semantic_dedup(
+        snap, laid_out, cents, threshold=0.99, corpus_cell_col="cell_id"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_incremental_empty_cell_is_new(spark):
+    # corpus occupies cell 0 only; the snapshot vector lands in cell 1
+    # (no corpus members) and must still get a row: verdict new, 0 matches
+    corpus = _emb_df(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.1])])
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    snap = _emb_df(spark, [(50, [0.0, 1.0])])
+    res = incremental_semantic_dedup(snap, corpus, cents, threshold=0.9).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert (r["vec_id"], r["cell"], r["verdict"], r["match_id"], r["n_matches"]) == (
+        50, 1, "new", None, 0,
+    )
