@@ -1898,7 +1898,7 @@ def _q_dedup_select(spark, sf_dir):
     component id has the closed form doc_id - doc_id % 50 — with
     text_quality's 6-decimal quality_score as the keep priority: per
     cluster keep the highest-scoring member, ties to the smallest id.
-    The engine's single max_by over the (score, -id) struct equals the
+    The engine's single min_by over the (-score, id) struct equals the
     oracle's two-step cut (max score per component, then min id among
     the score ties); quality_score itself already hash-matches the
     oracle (the text_quality row), so the argmax decisions are exact."""
@@ -3464,12 +3464,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM corpus c CROSS JOIN cents t) WHERE rn = 1
             ),
             cand AS (
+              -- LEFT joins mirror the engine's left join: a snapshot row
+              -- whose cell holds no corpus members keeps its row with a
+              -- NULL sim (counted as 'new'), never silently vanishes
               SELECT sa.vec_id, sa.cell, ca.vec_id AS cid,
                      list_cosine_similarity(s.ev, c.ev) AS sim
               FROM sa
               JOIN snap s ON s.vec_id = sa.vec_id
-              JOIN ca ON ca.cell = sa.cell
-              JOIN corpus c ON c.vec_id = ca.vec_id
+              LEFT JOIN ca ON ca.cell = sa.cell
+              LEFT JOIN corpus c ON c.vec_id = ca.vec_id
             )
             SELECT vec_id, CAST(cell AS INTEGER) AS cell,
                    CASE WHEN count(*) FILTER (WHERE sim >= 0.8) > 0

@@ -286,11 +286,9 @@ def semantic_dedup(
       Size n_cells so cells land well under the cap (the paper runs
       ~2k-row clusters).
     """
-    cents = np.asarray(centroids, dtype=np.float64)
-    # normalize defensively: assignment must be argmax COSINE (matching
-    # the spherical trainer and the SQL twin), not argmax dot-product
-    cents = cents / np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
-    assigned = assign_ivf_cells(emb.select(id_col, vec_col), cents, vec_col)
+    # assign_ivf_cells normalizes the centroids (argmax cosine, matching
+    # the spherical trainer and the SQL twin) — exactly once, there
+    assigned = assign_ivf_cells(emb.select(id_col, vec_col), centroids, vec_col)
 
     sizes = assigned.groupBy("__cell").agg(F.count("*").alias("__n"))
     sharded = (
@@ -438,8 +436,15 @@ def assign_ivf_cells(
     This is the layout step: persist the result partitioned/sorted by
     ``cell_col`` once, and every subsequent IVF query scans only its probed
     cells (partition pruning) instead of re-assigning the corpus.
+
+    Centroids are normalized HERE (argmax must be over cosine, not raw
+    dot product) so every assignment path — the persisted layout, the
+    per-call IVF query, semantic_dedup, incremental_semantic_dedup —
+    cells identically for the same centroid array; a layout built from
+    non-unit centroids can never silently disagree with a later probe.
     """
-    cents = centroids
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
@@ -491,6 +496,11 @@ def ivf_cosine_topk(
         emb, n_cells, vec_col, iters=iters, seed=seed,
         sample_fraction=sample_fraction,
     )
+    # normalize for the driver-side probe ORDERING (argsort must rank by
+    # cosine): assign_ivf_cells normalizes independently, so assignment
+    # and probe agree even for non-unit centroid arrays
+    cents = np.asarray(cents, dtype=np.float64)
+    cents = cents / np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
 
     if cell_col is not None:
         assigned = emb.withColumnRenamed(cell_col, "__cell")
@@ -541,10 +551,10 @@ def incremental_semantic_dedup(
     size the centroid count for the cell occupancy you can afford —
     identical to the IVF search contract.
     """
-    cents = np.asarray(centroids, dtype=np.float64)
-    cents = cents / np.maximum(1e-12, np.linalg.norm(cents, axis=1, keepdims=True))
-
-    sn = assign_ivf_cells(snapshot.select(id_col, vec_col), cents, vec_col)
+    # assign_ivf_cells normalizes the centroids exactly once, so the
+    # snapshot assignment, a per-call corpus assignment, AND a layout
+    # persisted earlier from the SAME raw array all cell identically
+    sn = assign_ivf_cells(snapshot.select(id_col, vec_col), centroids, vec_col)
     if corpus_cell_col is not None:
         co = corpus.select(
             F.col(id_col).alias("__cid"),
@@ -552,7 +562,7 @@ def incremental_semantic_dedup(
             F.col(corpus_cell_col).alias("__cell"),
         )
     else:
-        co = assign_ivf_cells(corpus.select(id_col, vec_col), cents, vec_col).select(
+        co = assign_ivf_cells(corpus.select(id_col, vec_col), centroids, vec_col).select(
             F.col(id_col).alias("__cid"),
             F.col(vec_col).alias("__cvec"),
             "__cell",

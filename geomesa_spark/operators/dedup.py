@@ -755,7 +755,7 @@ def select_canonical(
     """Canonical-document selection: per duplicate cluster, keep the best.
 
     The pipeline step downstream of near-dup clustering
-    (:func:`minhash_near_pairs` -> ``connected_components``): given one
+    (:func:`minhash_lsh_pairs` -> ``connected_components``): given one
     row per (doc, cluster) with a quality score attached, keep exactly
     the highest-scoring member (ties break to the smallest id — fully
     deterministic, never "whichever task finished first"). This replaces
@@ -767,9 +767,10 @@ def select_canonical(
     row per input member, the filterable verdict shape shared by the
     other dedup surfaces.
 
-    Scale shape: ONE map-side-combined aggregate per cluster (max_by
-    over a (score, -id) struct: lexicographic max = highest score, then
-    smallest id) and one equi-join of the winner table back on the
+    Scale shape: ONE map-side-combined aggregate per cluster (min_by
+    over a (-score, id) struct: lexicographic min = highest score, then
+    smallest id; the double is negated, never the id, so any id type
+    keeps the deterministic tie-break) and one equi-join of the winner table back on the
     cluster key — both shuffles carry (cluster, id/score) pairs only,
     never text. Cluster count ~ corpus/dup-rate, so the winner table is
     corpus-sized in the worst case: it stays an equi-join, deliberately
@@ -781,7 +782,12 @@ def select_canonical(
         F.col(score_col).alias("__score"),
     )
     winners = ids.groupBy("__comp").agg(
-        F.expr("max_by(__id, named_struct('s', __score, 'i', -__id))").alias("__keep_id")
+        # min over (-score, id): lexicographic min = highest score, then
+        # smallest id. Negating the DOUBLE score (never the id) keeps the
+        # tie-break safe for any id type — a negated string id would
+        # silently cast to NULL and break determinism; a negated
+        # Long.MIN_VALUE would overflow
+        F.expr("min_by(__id, named_struct('s', -__score, 'i', __id))").alias("__keep_id")
     )
     return (
         ids.join(winners, "__comp")

@@ -64,7 +64,7 @@ FORBID = {
     # corpus (or an SMJ re-keying it) means the skew guard regressed to
     # a second corpus shuffle
     "semdedup": ["SortMergeJoin", "Window"],
-    # the verdict must come from the max_by agg + join, never a
+    # the verdict must come from the min_by agg + join, never a
     # row_number window over the corpus
     "dedup_select": ["Window"],
     # verdict/match come from one grouped aggregate, never a
@@ -131,7 +131,7 @@ AUDIT = [
     ("extract_outlinks", "ZERO exchanges: cast + two regexp_extract_all + explode, one codegen map"),
     ("postings", "map-side-combined tf agg; WindowGroupLimit partial top-k; df from a term-keyed agg, never a window over raw postings"),
     ("semdedup", "Arrow assign stage; cell sizes broadcast (never a corpus window); ONE (cell,shard)-keyed FlatMapGroupsInPandas"),
-    ("dedup_select", "ONE component-keyed max_by hash agg + winner equi-join on the same key (deliberately NOT broadcast: winner table ~ cluster count); no window"),
+    ("dedup_select", "ONE component-keyed min_by hash agg + winner equi-join on the same key (deliberately NOT broadcast: winner table ~ cluster count); no window"),
     ("incr_semdedup", "snapshot Arrow assign; cell equi-join (corpus side = persisted layout at scale); candidate-only cosine verify; ONE snapshot-keyed agg"),
 ]
 

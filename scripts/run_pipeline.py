@@ -121,6 +121,10 @@ def main() -> None:
     quality = text_quality(docs, "text", "doc_id").join(
         language_id(docs, "text", "doc_id"), "doc_id"
     )
+    # checkpoint: quality feeds the clean filter AND both sides of the
+    # canonical-selection join below — unmaterialized it would re-run
+    # the extract_text + scoring UDF chain over the full corpus 3x
+    quality = checkpoint_stage(quality, work, "docs_quality")
     clean_ids = quality.filter(F.col("quality_score") >= 0.5).select("doc_id")
     clean = docs.join(clean_ids, "doc_id")
     clean = checkpoint_stage(clean, work, "docs_clean")

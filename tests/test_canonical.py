@@ -51,7 +51,6 @@ def test_partitioning_invariance(spark):
     rows = [(i, i % 5, float((i * 17) % 11) / 11.0) for i in range(100)]
     a = select_canonical(_df(spark, rows)).collect()
     b = select_canonical(_df(spark, rows).repartition(13)).collect()
-    key = lambda r: r["doc_id"]
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 

@@ -111,7 +111,6 @@ def test_blocked_gram_equals_unblocked(spark):
     b = semantic_dedup(
         _emb_df(spark, rows), cents, threshold=0.9, block_rows=4096
     ).collect()
-    key = lambda r: r["vec_id"]
     assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
         map(tuple, b), key=lambda t: t[0]
     )
@@ -177,8 +176,12 @@ def test_incremental_persisted_cell_col_matches_computed(spark):
     corpus_rows = [(i, _vec(i, dim=10)) for i in range(40)]
     cents = np.array([_vec(200 + k, dim=10) for k in range(3)], dtype=np.float64)
     corpus = _emb_df(spark, corpus_rows)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    laid_out = assign_ivf_cells(corpus, cn, cell_col="cell_id")
+    # RAW (non-unit) centroids on purpose: assign_ivf_cells normalizes
+    # internally, so a layout built from the same raw array the
+    # incremental call gets must cell identically — the regression here
+    # was a layout argmax over raw dot products disagreeing with the
+    # snapshot's cosine argmax
+    laid_out = assign_ivf_cells(corpus, cents, cell_col="cell_id")
     snap = _emb_df(spark, [(700 + i, [2.0 * v for v in _vec(i, dim=10)]) for i in range(6)])
     a = incremental_semantic_dedup(snap, corpus, cents, threshold=0.99).collect()
     b = incremental_semantic_dedup(
