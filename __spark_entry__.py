@@ -2066,7 +2066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "blocklist": _q_blocklist,
         # slot 51+ additions (brand-new but past the driver window — the
-        # 50 checked slots are spoken for; verified by the local gate)
+        # 50 checked slots are spoken for; verified by the local gate).
+        # The last three close the dedup family: SemDeDup-style semantic
+        # prune, quality-aware canonical selection, and the incremental
+        # snapshot-vs-corpus semantic classify.
         "crawl_frontier": _q_crawl_frontier,
         "classifier_score": _q_classifier_score,
         "extract_outlinks": _q_extract_outlinks,
