@@ -447,6 +447,12 @@ def _time_queries(spark) -> dict[str, float]:
         # + frontier scheduling + linear quality classifier)
         "anchor_terms", "incr_dedup", "crawl_frontier", "classifier_score",
         "extract_outlinks", "postings",
+        # appended late-r5 third batch (semantic-dedup closers)
+        "semdedup", "dedup_select", "incr_semdedup",
+        # appended closing-r5 batch (decontamination audit/surgery,
+        # n-gram LM counts, PQ/ADC compressed-vector search)
+        "contamination_matrix", "decontaminate_spans", "ngram_counts",
+        "ann_pq",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
@@ -457,7 +463,8 @@ def _time_queries(spark) -> dict[str, float]:
     # recorded run per box, unreproducibly)
     entrymod._layout_events(spark, SF_DIR)
     for warm in ("bbox_geoms", "minhash_lsh", "simhash", "ann_lsh", "ann_ivf",
-                 "embed_dedup", "convert_avro", "incr_dedup"):
+                 "embed_dedup", "convert_avro", "incr_dedup", "semdedup",
+                 "ann_pq"):
         _noop(qs[warm](spark, SF_DIR))
     out = {}
     for name in names:

@@ -14,6 +14,13 @@ search over ``array<float>`` embeddings.
   vectors into cells; queries probe only the ``nprobe`` nearest centroids.
 * :func:`embedding_near_pairs` — embedding-cosine near-duplicate pairs:
   hyperplane-band bucket self-join (never all-pairs) + exact cosine verify.
+* :func:`train_pq_codebooks` / :func:`encode_pq` / :func:`pq_adc_topk` —
+  product quantization: the 10^12-vector memory path. Vectors compress to
+  ``m`` uint8 codes (one per subspace); search is an asymmetric-distance
+  (ADC) scan that never touches the original vectors — per query a tiny
+  ``m x k`` lookup table of subspace distances is folded into a pure
+  codegen expression, so the scan side is whole-stage-codegen over the
+  code column only (16 bytes/vector instead of 128 at dim=16 float64).
 """
 
 from __future__ import annotations
@@ -520,6 +527,153 @@ def ivf_cosine_topk(
     cand = assigned.join(F.broadcast(qdf), "__cell").drop("__cell")
     scored = cand.withColumn("sim", _cos_udf()(F.col(vec_col), F.col("q_vec")))
     return _topk_window(scored, k, id_col).select("query_id", id_col, "sim", "rank")
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    max_train_rows: int = 100_000,
+) -> np.ndarray:
+    """Train product-quantization codebooks: ``m`` independent k-means
+    codebooks of ``k`` centroids each, one per contiguous subspace of the
+    NORMALIZED vector (PQ over unit vectors, matching the cosine contract
+    of every other ANN path here). Returns ``(m, k, dim//m)`` float64.
+
+    Training is a one-time INDEX-BUILD cost on a BOUNDED sample — k-means
+    needs ~100s of points per centroid, never the corpus (the FAISS
+    training discipline): ``sample_fraction`` then a hard ``max_train_rows``
+    limit ride one bounded toPandas. Deterministic: seeded distinct-row
+    init, argmin ties break on the lowest centroid index (numpy first-min),
+    an emptied centroid keeps its previous position.
+    """
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("train_pq_codebooks: input table is empty")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    src = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    rows = src.limit(max_train_rows).toPandas()
+    mat = np.array(rows.iloc[:, 0].tolist(), dtype=np.float64)
+    mat = mat / np.maximum(1e-12, np.linalg.norm(mat, axis=1, keepdims=True))
+    if len(mat) < k:
+        raise ValueError(f"need >= k={k} training rows, got {len(mat)}")
+
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        # distinct-row init: duplicate init points would pin two centroids
+        # to the same position and orphan one of them forever
+        uniq = np.unique(sub, axis=0)
+        if len(uniq) >= k:
+            cents = uniq[rng.permutation(len(uniq))[:k]].copy()
+        else:
+            cents = sub[rng.permutation(len(sub))[:k]].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                sel = assign == c
+                if sel.any():
+                    cents[c] = sub[sel].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def encode_pq(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code column: per subspace, the index of the nearest
+    (squared-L2) codebook centroid of the NORMALIZED vector.
+
+    This is the layout step (the analog of :func:`assign_ivf_cells`):
+    persist the result once and every ADC query scans codes only — at
+    ``m=16`` that is 16 bytes per vector regardless of dimension, the
+    compression that makes 10^12-vector search RAM-feasible. One Arrow map
+    stage, no shuffle. Ties in the argmin take the lowest centroid index
+    (numpy first-min) so re-encoding is bit-stable.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(1e-12, np.linalg.norm(mat, axis=1, keepdims=True))
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.withColumn(code_col, enc(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    codebooks: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes.
+
+    Per query the driver builds the classic ``m x k`` lookup table of
+    squared subspace distances from the NORMALIZED query to every codebook
+    centroid; each row's distance is the left-to-right sum of ``m`` literal
+    array lookups — pure whole-stage codegen over the code column, zero
+    python on the scan, nothing but (query_id, id, dist) reaching the
+    final top-k window (WindowGroupLimit keeps at most k rows per input
+    partition in flight). Returns (query_id, vec_id, dist, rank) with
+    rank ties broken on ``id_col`` ascending.
+    """
+    if not queries:
+        id_type = encoded.schema[id_col].dataType.simpleString()
+        return encoded.sparkSession.createDataFrame(
+            [], f"query_id string, {id_col} {id_type}, dist double, rank int"
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kcent, dsub = books.shape
+
+    per_query = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = q / max(1e-12, np.linalg.norm(q))
+        # LUT[s][c] = ||q_sub(s) - centroid(s, c)||^2
+        lut = np.array([
+            ((qn[s * dsub : (s + 1) * dsub][None, :] - books[s]) ** 2).sum(axis=1)
+            for s in range(m)
+        ])
+        dist = F.lit(0.0)
+        for s in range(m):
+            sub_lut = F.array(*[F.lit(float(v)) for v in lut[s]])
+            dist = dist + F.element_at(sub_lut, F.element_at(F.col(code_col), s + 1) + 1)
+        per_query.append(F.struct(F.lit(qid).alias("query_id"), dist.alias("dist")))
+
+    exploded = encoded.select(
+        F.col(id_col), F.explode(F.array(*per_query)).alias("qd")
+    ).select(id_col, F.col("qd.query_id").alias("query_id"), F.col("qd.dist").alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
+    )
 
 
 def incremental_semantic_dedup(

@@ -655,3 +655,65 @@ def build_postings(
         .filter(F.col("df_term") >= min_df)
     )
     return topk.join(dfreq, "term").select("term", "df_term", "doc", "tf", "rnk")
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    orders: tuple[int, ...] = (1, 2, 3),
+    min_count: int = 2,
+    topk_per_order: int | None = None,
+) -> DataFrame:
+    """Corpus n-gram counts for LM estimation (the KenLM ``lmplz``
+    counting stage): one row per retained (order, gram) with its corpus
+    frequency. ``min_count`` is the standard count-pruning threshold
+    (hapax-gram mass dwarfs everything at web scale and carries no LM
+    signal); ``topk_per_order`` optionally caps the output to the
+    most-frequent grams per order with a deterministic (count DESC,
+    gram ASC) cut.
+
+    Scale shape (10^12 docs): ALL orders ride one projection — each doc
+    emits a flattened array of (order, gram) structs, so the corpus is
+    scanned once, not once per order. The count aggregate is map-side
+    combined (the exchange carries distinct-gram partials, never raw
+    windows), and the top-k cut is the WindowGroupLimit discipline: the
+    window partitions by ``order`` (a handful of groups), but the
+    partial top-k pass bounds what ships to k rows per (order, input
+    partition) — never the full gram table through one task. With
+    ``topk_per_order=None`` there is no window at all: scan -> hash agg
+    -> filter, the pure counting plan.
+
+    Same whitespace tokenizer as :func:`bm25` / ``textstats``
+    (:func:`_tokens`), so counts compose with every other text signal.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(text_col)
+
+    def grams(n: int) -> F.Column:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("order"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+            ),
+        )
+
+    all_grams = F.flatten(F.array(*[grams(int(n)) for n in orders]))
+    counts = (
+        df.select(F.explode(all_grams).alias("g"))
+        .groupBy(F.col("g.order").alias("order"), F.col("g.gram").alias("gram"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    if topk_per_order is None:
+        return counts
+    w = Window.partitionBy("order").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk_per_order)
+        .drop("rnk")
+    )

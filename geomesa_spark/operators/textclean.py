@@ -8,6 +8,12 @@ cleanup that runs right after text extraction):
   shuffle, no python; patterns restricted to syntax that Java regex and
   RE2 (the DuckDB oracle engine) interpret identically (no backrefs, no
   lookaround).
+* :func:`decontaminate` / :func:`contamination_matrix` /
+  :func:`decontaminate_spans` — the benchmark-decontamination family:
+  flag contaminated docs, report per-benchmark overlap, or surgically
+  remove just the contaminated token spans. All three share one
+  window-hash kernel (:func:`_window_hashes`) and the same plan spine:
+  eval grams broadcast, the corpus streams — no corpus shuffle.
 * :func:`remove_boilerplate` — drop lines that repeat across a large
   fraction of a group's documents (site headers/footers/nav). Two hash
   shuffles total: one to count distinct docs per (group, line), one to
@@ -72,19 +78,7 @@ def decontaminate(
     = distinct benchmark docs hit.
     """
     did = F.col(id_col)
-
-    def windows(text: Column) -> Column:
-        # token-aligned n-gram windows as 64-bit hashes; docs shorter than
-        # n tokens yield an EMPTY array (a bare sequence(0, size-n) would
-        # DESCEND for negative stops — Spark sequences are never empty)
-        toks = F.split(text, " ")
-        idx = F.when(
-            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        )
+    windows = lambda text: _window_hashes(text, n)  # noqa: E731
 
     bgrams = (
         bench.select(
@@ -104,6 +98,152 @@ def decontaminate(
             F.countDistinct("__bid").cast("int").alias("n_bench_hit"),
         )
         .select(F.col("__id").alias(id_col), "n_hits", "n_bench_hit")
+    )
+
+
+def _window_starts(text: Column, n: int) -> Column:
+    """0-based start offsets of the token-aligned ``n``-gram windows; docs
+    shorter than ``n`` tokens yield an EMPTY array (a bare
+    ``sequence(0, size-n)`` would DESCEND for negative stops — Spark
+    sequences are never empty)."""
+    toks = F.split(text, " ")
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _window_hashes(text: Column, n: int) -> Column:
+    """Token-aligned ``n``-gram windows as 64-bit hashes — the one window
+    kernel every decontamination operator shares."""
+    toks = F.split(text, " ")
+    return F.transform(
+        _window_starts(text, n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+
+
+def contamination_matrix(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    bench_id: str = "bench_id",
+    n: int = 13,
+) -> DataFrame:
+    """Per-benchmark contamination report — the audit twin of
+    :func:`decontaminate`. One row per benchmark document that the corpus
+    hits at all: (bench_id, n_docs_hit, n_windows_hit, n_grams_hit,
+    n_bench_grams, frac_grams_hit), where frac is the share of the
+    benchmark's DISTINCT n-grams found anywhere in the corpus — the
+    number a decontamination run reports per eval set before training.
+
+    Same plan spine as ``decontaminate`` (the eval grams broadcast, the
+    corpus streams through one window projection, no corpus shuffle); the
+    only additions are a per-benchmark distinct-gram total (tiny, computed
+    on the bench side alone) and the final aggregate keyed by bench_id —
+    output rows are bounded by the benchmark corpus, never the crawl.
+    """
+    bgrams = (
+        bench.select(
+            F.col(bench_id).alias("__bid"),
+            F.explode(_window_hashes(F.col(bench_text), n)).alias("__g"),
+        )
+        .distinct()
+    )
+    totals = bgrams.groupBy("__bid").agg(F.count("*").alias("n_bench_grams"))
+    dgrams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_window_hashes(F.col(text_col), n)).alias("__g"),
+    )
+    hits = (
+        dgrams.join(F.broadcast(bgrams), "__g")
+        .groupBy("__bid")
+        .agg(
+            F.countDistinct("__id").cast("long").alias("n_docs_hit"),
+            F.count("*").cast("long").alias("n_windows_hit"),
+            F.countDistinct("__g").cast("long").alias("n_grams_hit"),
+        )
+    )
+    return (
+        hits.join(F.broadcast(totals), "__bid")
+        .select(
+            F.col("__bid").alias(bench_id),
+            "n_docs_hit",
+            "n_windows_hit",
+            "n_grams_hit",
+            F.col("n_bench_grams").cast("long").alias("n_bench_grams"),
+            (F.col("n_grams_hit") / F.col("n_bench_grams").cast("double")).alias(
+                "frac_grams_hit"
+            ),
+        )
+    )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    bench_id: str = "bench_id",
+    n: int = 13,
+) -> DataFrame:
+    """Exact-substring decontamination: REMOVE the contaminated spans
+    instead of dropping the document (the GPT-3/Chinchilla appendix-style
+    surgical variant of :func:`decontaminate` — a long web page that
+    quotes one benchmark item keeps everything but the quoted window).
+
+    A token position is contaminated if any benchmark-matching ``n``-gram
+    window covers it; contaminated positions are cut and the survivors
+    re-join on single spaces. Returns one row per input doc:
+    (id, clean_text, n_tokens, n_removed) — docs with no hits pass
+    through byte-identical.
+
+    Scale shape: identical spine to ``decontaminate`` (bench grams
+    BROADCAST, the corpus streams through the window projection — no
+    corpus shuffle generating candidates), then ONE doc-keyed aggregate
+    of matched window starts (ints, bounded by the doc's own window
+    count) and one equi-join of that (hit-docs-only) start table back to
+    the corpus — at production contamination rates (<<1% of docs hit)
+    the starts table is snapshot-sized and AQE broadcasts it; the rebuild
+    itself is a pure codegen array filter, no python.
+    """
+    did = F.col(id_col)
+    dgrams = docs.select(
+        did.alias("__id"),
+        F.posexplode(_window_hashes(F.col(text_col), n)).alias("__pos", "__g"),
+    )
+    bgrams = bench.select(
+        F.explode(_window_hashes(F.col(bench_text), n)).alias("__g")
+    ).distinct()
+    starts = (
+        dgrams.join(F.broadcast(bgrams), "__g")
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+
+    joined = docs.join(starts, did == F.col("__id"), "left")
+    toks = F.split(F.col(text_col), " ")
+    # keep token i unless a matched window [s, s+n) covers it
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__starts"), lambda s: (i >= s) & (i < s + F.lit(n))
+        ),
+    )
+    clean = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    n_tokens = F.size(toks).cast("long")
+    n_kept = F.when(
+        F.col("__starts").isNull(), n_tokens
+    ).otherwise(F.size(kept).cast("long"))
+    return joined.select(
+        did,
+        clean.alias("clean_text"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - n_kept).alias("n_removed"),
     )
 
 

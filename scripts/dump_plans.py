@@ -70,6 +70,14 @@ FORBID = {
     # verdict/match come from one grouped aggregate, never a
     # row_number-over-candidates window
     "incr_semdedup": ["Window"],
+    # bench grams and per-bench totals both broadcast; an SMJ means a
+    # corpus-sized gram shuffle crept into the decontamination spine
+    "contamination_matrix": ["SortMergeJoin"],
+    # one gram-count hash agg + the WindowGroupLimit cut; never a join
+    # or a range-partitioned global sort
+    "ngram_counts": ["SortMergeJoin", "Exchange rangepartitioning"],
+    # the ADC scan is joinless: literal LUT lookups + explode + top-k
+    "ann_pq": ["SortMergeJoin", "BroadcastHashJoin"],
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: their build
@@ -133,6 +141,11 @@ AUDIT = [
     ("semdedup", "Arrow assign stage; cell sizes broadcast (never a corpus window); ONE (cell,shard)-keyed FlatMapGroupsInPandas"),
     ("dedup_select", "ONE component-keyed min_by hash agg + winner equi-join on the same key (deliberately NOT broadcast: winner table ~ cluster count); no window"),
     ("incr_semdedup", "snapshot Arrow assign; cell equi-join (corpus side = persisted layout at scale); candidate-only cosine verify; ONE snapshot-keyed agg"),
+    # closing r5 batch
+    ("contamination_matrix", "bench grams + totals broadcast (SMJ forbidden); per-bench agg output bounded by the eval set; ZERO corpus shuffle"),
+    ("decontaminate_spans", "bench grams broadcast; ONE doc-keyed starts agg; starts re-attach equi-join (AQE broadcasts at real contamination rates); rebuild pure codegen"),
+    ("ngram_counts", "ONE map-side-combined (order,gram) hash agg over a single corpus scan; WindowGroupLimit partial top-k; no join"),
+    ("ann_pq", "Arrow encode (one-time layout stage); ADC scan = literal-LUT codegen lookups, JOINLESS; WindowGroupLimit top-k"),
 ]
 
 FLAGS = [
