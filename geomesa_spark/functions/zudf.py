@@ -57,3 +57,22 @@ def z3_udf(lon, lat, unix_secs):
 
 def z2_udf(lon, lat):
     return _z2_udf()(lon, lat)
+
+
+def _s2_leaf_udf():
+    if "s2" not in _cache:
+        from geomesa_spark.cells.s2 import lonlat_to_leaf
+
+        @F.pandas_udf("long")
+        def s2_leaf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            ids = lonlat_to_leaf(lon.to_numpy(), lat.to_numpy())
+            return pd.Series(ids.astype("int64"))
+
+        _cache["s2"] = s2_leaf
+    return _cache["s2"]
+
+
+def s2_leaf_udf(lon, lat):
+    """Leaf (level-30) S2 cell id column — same Arrow-batch contract as
+    z2/z3 (one numpy pass per batch, one attribute out)."""
+    return _s2_leaf_udf()(lon, lat)

@@ -94,6 +94,7 @@ AUDIT = [
     # name -> what the plan must show
     ("bbox_time_indexed", "week PartitionFilters + z3 PushedFilters"),
     ("bbox_indexed", "z2 PushedFilters on the ST copy"),
+    ("bbox_s2", "ONE ArrowEvalPython (S2 leaf encode) + codegen BETWEEN-range prefilter + exact residual; no shuffle"),
     ("attr_filter_indexed", "event_type PushedFilters on the attr copy"),
     ("spatial_join_poly", "BroadcastHashJoin on cover cells, no cartesian"),
     ("knn", "broadcast cell equi-join, no NestedLoop"),
