@@ -640,7 +640,35 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
 
 
-_IVF_CENTROID_MEMO: dict = {}
+_NPY_MEMO: dict = {}
+
+
+def _cached_npy(filename: str, build):
+    """Process-memo + disk-cached numpy artifact (IVF centroids, PQ
+    codebooks): one-time trained index artifacts over the deterministic
+    planted corpus, reusable across driver processes like the materialized
+    layout. ``filename`` must embed every generator AND training parameter
+    (same discipline as _cached_table) so a parameter change never serves a
+    stale artifact. Writes are tmp + os.replace: a bare np.save would let a
+    concurrent driver np.load a half-written file."""
+    import os
+
+    import numpy as _np
+
+    arr = _NPY_MEMO.get(filename)
+    if arr is not None:
+        return arr
+    cpath = os.path.join(_LAYOUT_CACHE, filename)
+    if os.path.exists(cpath):
+        arr = _np.load(cpath)
+    else:
+        arr = build()
+        os.makedirs(_LAYOUT_CACHE, exist_ok=True)
+        tmp = f"{cpath}.{os.getpid()}.tmp.npy"
+        _np.save(tmp, arr)
+        os.replace(tmp, cpath)
+    _NPY_MEMO[filename] = arr
+    return arr
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -657,38 +685,12 @@ def _q_ann_ivf(spark, sf_dir):
     the probed cell ids."""
     from geomesa_spark.operators.ann import ivf_cosine_topk, train_ivf_centroids
 
-    import numpy as _np
-
     emb = _synth_planted_embeddings(_utc(spark))
-    cents = _IVF_CENTROID_MEMO.get("planted")
-    if cents is None:
-        # disk-cached next to the z3 layout cache: the planted corpus is
-        # deterministic, so trained centroids are a reusable index artifact
-        # across processes (like the materialized layout, the one-time build
-        # cost is the ingest side, not the query side)
-        import os
-
-        # cache key embeds the generator constants AND the train params —
-        # same discipline as _synth_planted_embeddings' parquet cache, so
-        # changing either never serves stale centroids
-        cpath = os.path.join(
-            _LAYOUT_CACHE,
-            f"ivf_planted_centroids_{_ANN_BASE}_{_ANN_QUERIES}_{_ANN_COPIES}"
-            f"_{_ANN_DIM}_c8_i2_s050.npy",
-        )
-        if os.path.exists(cpath):
-            cents = _np.load(cpath)
-        else:
-            cents = train_ivf_centroids(
-                emb, n_cells=8, iters=2, sample_fraction=0.5
-            )
-            os.makedirs(_LAYOUT_CACHE, exist_ok=True)
-            # tmp + os.replace, same discipline as _cached_table: a bare
-            # np.save lets a concurrent driver np.load a half-written file
-            tmp = f"{cpath}.{os.getpid()}.tmp.npy"
-            _np.save(tmp, cents)
-            os.replace(tmp, cpath)
-        _IVF_CENTROID_MEMO["planted"] = cents
+    cents = _cached_npy(
+        f"ivf_planted_centroids_{_ANN_BASE}_{_ANN_QUERIES}_{_ANN_COPIES}"
+        f"_{_ANN_DIM}_c8_i2_s050.npy",
+        lambda: train_ivf_centroids(emb, n_cells=8, iters=2, sample_fraction=0.5),
+    )
     qs = [
         (f"q{i}", [_emb_component(i, d) for d in range(_ANN_DIM)])
         for i in range(_ANN_QUERIES)
@@ -2001,12 +2003,9 @@ def _q_ngram_counts(spark, sf_dir):
     return ngram_counts(docs, orders=(1, 2, 3), min_count=2, topk_per_order=50)
 
 
-_PQ_BOOKS_MEMO: dict = {}
-
-
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ANN over the planted table (ann.encode_pq +
-    ann.pq_adc_topk): vectors compress to m=4 uint8 codes (k=32 centroids
+    ann.pq_adc_topk): vectors compress to m=4 tinyint codes (k=32 centroids
     per subspace) and search is a pure-codegen ADC scan over the code
     column. Power-of-two copies normalize bit-identical to their base, so
     the whole family shares one PQ code and one ADC distance — the
@@ -2021,27 +2020,13 @@ def _q_ann_pq(spark, sf_dir):
         train_pq_codebooks,
     )
 
-    import numpy as _np
-
     emb = _synth_planted_embeddings(_utc(spark))
-    books = _PQ_BOOKS_MEMO.get("planted")
-    if books is None:
-        import os
-
-        cpath = os.path.join(
-            _LAYOUT_CACHE,
-            f"pq_planted_books_{_ANN_BASE}_{_ANN_QUERIES}_{_ANN_COPIES}"
-            f"_{_ANN_DIM}_m4_k32_i10.npy",
-        )
-        if os.path.exists(cpath):
-            books = _np.load(cpath)
-        else:
-            books = train_pq_codebooks(emb, m=4, k=32, iters=10)
-            os.makedirs(_LAYOUT_CACHE, exist_ok=True)
-            tmp = f"{cpath}.{os.getpid()}.tmp.npy"
-            _np.save(tmp, books)
-            os.replace(tmp, cpath)
-        _PQ_BOOKS_MEMO["planted"] = books
+    books = _cached_npy(
+        # v2: sorted-sample training determinism (TakeOrdered, not limit)
+        f"pq_planted_books_{_ANN_BASE}_{_ANN_QUERIES}_{_ANN_COPIES}"
+        f"_{_ANN_DIM}_m4_k32_i10_v2.npy",
+        lambda: train_pq_codebooks(emb, m=4, k=32, iters=10),
+    )
     qs = [
         (f"q{i}", [_emb_component(i, d) for d in range(_ANN_DIM)])
         for i in range(_ANN_QUERIES)

@@ -321,22 +321,29 @@ def cover_rect(
             return False
         return _wrapped_intersects(blng_lo, bwidth, qlng_lo, qwidth)
 
-    frontier = [(f, 0, 0, 1 << MAX_LEVEL) for f in range(6)]
+    frontier = [
+        (f, 0, 0, 1 << MAX_LEVEL)
+        for f in range(6)
+        if hits(f, 0, 0, 1 << MAX_LEVEL)
+    ]
     emitted: list[tuple[int, int, int, int]] = []
     for _ in range(level):
         nxt = []
         for f, i0, j0, size in frontier:
-            if not hits(f, i0, j0, size):
-                continue
             h = size // 2
             for di, dj in ((0, 0), (h, 0), (0, h), (h, h)):
-                nxt.append((f, i0 + di, j0 + dj, h))
-        if len(nxt) > 4 * max_cells:
-            emitted.extend(frontier)  # stop refining: coarser superset
+                child = (f, i0 + di, j0 + dj, h)
+                if hits(*child):
+                    nxt.append(child)
+        if len(nxt) > max_cells:
+            # stop refining: the (hit-filtered) parent generation is a
+            # coarser superset and, having passed last iteration's check,
+            # respects max_cells (faces: at most 6)
+            emitted.extend(frontier)
             frontier = []
             break
         frontier = nxt
-    emitted.extend(c for c in frontier if hits(*c))
+    emitted.extend(frontier)
 
     if not emitted:
         return []
@@ -355,7 +362,9 @@ def cover_rect(
     order = np.argsort(lo)
     merged: list[list[int]] = []
     for a, b in zip(lo[order].tolist(), hi[order].tolist()):
-        if merged and a <= merged[-1][1] + 1:
+        # leaf ids are odd (center-of-leaf convention), so two ADJACENT
+        # inclusive ranges differ by exactly 2 at the seam
+        if merged and a <= merged[-1][1] + 2:
             merged[-1][1] = max(merged[-1][1], b)
         else:
             merged.append([a, b])

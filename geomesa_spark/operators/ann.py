@@ -16,11 +16,11 @@ search over ``array<float>`` embeddings.
   hyperplane-band bucket self-join (never all-pairs) + exact cosine verify.
 * :func:`train_pq_codebooks` / :func:`encode_pq` / :func:`pq_adc_topk` —
   product quantization: the 10^12-vector memory path. Vectors compress to
-  ``m`` uint8 codes (one per subspace); search is an asymmetric-distance
-  (ADC) scan that never touches the original vectors — per query a tiny
-  ``m x k`` lookup table of subspace distances is folded into a pure
-  codegen expression, so the scan side is whole-stage-codegen over the
-  code column only (16 bytes/vector instead of 128 at dim=16 float64).
+  ``m`` tinyint codes (one per subspace, k <= 128); search is an
+  asymmetric-distance (ADC) scan that never touches the original vectors —
+  per query a tiny ``m x k`` lookup table of subspace distances is folded
+  into a pure codegen expression, so the scan side is whole-stage-codegen
+  over the code column only (m bytes/vector instead of 8*dim float64).
 """
 
 from __future__ import annotations
@@ -547,9 +547,12 @@ def train_pq_codebooks(
     Training is a one-time INDEX-BUILD cost on a BOUNDED sample — k-means
     needs ~100s of points per centroid, never the corpus (the FAISS
     training discipline): ``sample_fraction`` then a hard ``max_train_rows``
-    limit ride one bounded toPandas. Deterministic: seeded distinct-row
-    init, argmin ties break on the lowest centroid index (numpy first-min),
-    an emptied centroid keeps its previous position.
+    cut ride one bounded toPandas. Deterministic: the cut is a TakeOrdered
+    on the vector value (NOT a bare limit, whose row set depends on
+    partition layout), so the training set, its order, the seeded
+    distinct-row init, and argmin low-index tie-breaks are all fixed for a
+    given input table regardless of parallelism; an emptied centroid keeps
+    its previous position.
     """
     first = emb.select(vec_col).first()
     if first is None:
@@ -562,7 +565,7 @@ def train_pq_codebooks(
     src = emb.select(vec_col)
     if sample_fraction < 1.0:
         src = src.sample(fraction=sample_fraction, seed=seed)
-    rows = src.limit(max_train_rows).toPandas()
+    rows = src.orderBy(F.col(vec_col)).limit(max_train_rows).toPandas()
     mat = np.array(rows.iloc[:, 0].tolist(), dtype=np.float64)
     mat = mat / np.maximum(1e-12, np.linalg.norm(mat, axis=1, keepdims=True))
     if len(mat) < k:
@@ -600,7 +603,8 @@ def encode_pq(
     (squared-L2) codebook centroid of the NORMALIZED vector.
 
     This is the layout step (the analog of :func:`assign_ivf_cells`):
-    persist the result once and every ADC query scans codes only — at
+    persist the result once and every ADC query scans codes only — codes
+    are ``array<tinyint>`` (k <= 128 centroids per subspace), so at
     ``m=16`` that is 16 bytes per vector regardless of dimension, the
     compression that makes 10^12-vector search RAM-feasible. One Arrow map
     stage, no shuffle. Ties in the argmin take the lowest centroid index
@@ -608,12 +612,14 @@ def encode_pq(
     """
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, dsub = books.shape
+    if k > 128:
+        raise ValueError(f"encode_pq: k={k} > 128 does not fit tinyint codes")
 
-    @F.pandas_udf("array<int>")
+    @F.pandas_udf("array<tinyint>")
     def enc(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)
         mat = mat / np.maximum(1e-12, np.linalg.norm(mat, axis=1, keepdims=True))
-        codes = np.empty((len(mat), m), dtype=np.int32)
+        codes = np.empty((len(mat), m), dtype=np.int8)
         for s in range(m):
             sub = mat[:, s * dsub : (s + 1) * dsub]
             d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)

@@ -153,10 +153,9 @@ def test_cover_prunes():
     assert hit.mean() < 3.0 * exact  # <=3x overfetch at level 6
 
 
-def test_bbox_s2_matches_plain_bbox(spark):
+def test_bbox_s2_matches_plain_bbox(spark, sf_dir):
     import __spark_entry__ as entry
 
-    sf = "/root/testdata/sf0.001"
-    got = {r.event_id for r in entry.queries()["bbox_s2"](spark, sf).collect()}
-    want = {r.event_id for r in entry.queries()["bbox"](spark, sf).collect()}
+    got = {r.event_id for r in entry.queries()["bbox_s2"](spark, sf_dir).collect()}
+    want = {r.event_id for r in entry.queries()["bbox"](spark, sf_dir).collect()}
     assert got == want and got
