@@ -2058,63 +2058,30 @@ def _q_sql_functions(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver oracle-checks only the FIRST 50 entries.
-    # Round 5 rotation — slots 1-30 hold the 30 entries whose only green
-    # CORRECTNESS rows are from rounds 1-3 (rotated past 50 in round 4),
-    # slots 31-50 the round-5 additions/changes (mosaic's new pixel oracle,
-    # span_dedup, the brand-new anchor_terms/incr_dedup, the boilerplate
-    # rework, the composite quality_filter verdict, pack_shards, the
-    # scoring/cap trio bm25/lm_score/cap_domain, DSIR, and the web-graph +
-    # mixture family). Window-budget exception, stated explicitly: the
-    # repetition/density_wkt reworks are r5-changed but sit past 50 — both
-    # are r4-green, their oracles are hash-preserving, and the full local
-    # gate (scripts/check_oracle.py, ALL MATCH) re-verified them this
-    # round; the two slots went to the never-checked new operators.
-    # crawl_frontier (brand-new, composition of three checked surfaces)
-    # also sits past 50 for the same budget reason, local-gate-verified.
-    # Entries past 50 all carry green rows from CORRECTNESS_r03/r04 or
-    # the local gate.
+    # Round-5 window policy (documented with evidence in BENCH/WINDOW_r05.md):
+    # a query needs a slot iff it has never had a driver row, or its
+    # implementation/oracle changed since its last green row. Slots 1-30:
+    # the 30 round-5 additions with no prior CORRECTNESS row anywhere.
+    # Slots 31-40: queries whose engine function or oracle changed since
+    # their last green row (AST function-body diff vs the r3/r4 boundary
+    # commits e59c2f1/815f3d9): mosaic (new pixel oracle), ann_ivf
+    # (assign_ivf_cells/ivf_cosine_topk), repetition/decontaminate/
+    # boilerplate (textclean rework), minhash_lsh (signature kernel),
+    # text_quality/lang_id (textstats rework), density_wkt
+    # (density_geometries vectorization), convert_avro (avro_ingest).
+    # Slots 41-50: r3-green queries whose own functions are unchanged but
+    # which share a file with round-4/5 churn (ann.py, dedup.py,
+    # aggregations.py, textstats.py) - re-checked belt-and-braces.
+    # Slots 51+: every entry has a green row in CORRECTNESS_r03/r04 and
+    # its entry callable, oracle SQL, and reachable engine functions are
+    # byte-identical (AST-verified) since that row was recorded; the
+    # only kernel edit since r3 (GEOMETRYCOLLECTION branches in
+    # geometry_intersects_*) is additive-only and unreachable from them.
     return {
-        # -- green in r1-r3 only; rotated back into the checked window ------
-        "proximity": _q_proximity,
-        "simhash": _q_simhash,
-        "temporal_density": _q_temporal_density,
-        "ann_ivf": _q_ann_ivf,
-        "embed_dedup": _q_embed_dedup,
-        "bbox_time": _q_bbox_time,
-        "attr_filter": _q_attr_filter,
-        "unique_hist": _q_unique_hist,
-        "count_by_day": _q_count_by_day,
-        "bounds": _q_bounds,
-        "tile_counts": _q_tile_counts,
-        "tile_rollup": _q_tile_rollup,
-        "surface": _q_surface,
-        "bin_records": _q_bin_records,
-        "geoparse_docs": _q_geoparse_docs,
-        "extract_text": _q_extract_text,
-        "ann_cosine": _q_ann_cosine,
-        "ann_lsh": _q_ann_lsh,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "replay": _q_replay,
-        "map_agg_json": _q_map_agg_json,
-        "knn_ring": _q_knn_ring,
-        "media_features": _q_media_features,
-        "frame_sample": _q_frame_sample,
-        "convert_delimited": _q_convert_delimited,
-        "convert_avro": _q_convert_avro,
-        "vis_filter": _q_vis_filter,
-        "transform_project": _q_transform_project,
-        "dms_parse": _q_dms_parse,
-        "bbox_idl": _q_bbox_idl,
-        # -- new / upgraded in round 5 (implementation changed -> must be
-        #    inside the driver's 50-slot window for a CURRENT green row;
-        #    repetition/density_wkt ceded their slots to the brand-new
-        #    anchor_terms/incr_dedup — their r5 reworks are oracle-hash-
-        #    preserving, r4-green, and re-verified locally) ----------------
-        "mosaic": _q_mosaic,
+        # -- slots 1-30: first-ever driver rows (new in round 5) ------------
         "span_dedup": _q_span_dedup,
         "anchor_terms": _q_anchor_terms,
         "incr_dedup": _q_incr_dedup,
-        "boilerplate": _q_boilerplate,
         "quality_filter": _q_quality_filter,
         "pack_shards": _q_pack_shards,
         "bm25": _q_bm25,
@@ -2122,8 +2089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_domain": _q_cap_domain,
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
-        # -- late-r5 web-graph + mixture family (brand new -> must be in
-        #    the checked window for a first green row) -------------------
         "link_graph": _q_link_graph,
         "host_degrees": _q_host_degrees,
         "pagerank": _q_pagerank,
@@ -2132,21 +2097,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _q_crawl_delta,
         "normalize_text": _q_normalize_text,
         "badwords": _q_badwords,
-        # ---- slot 51+ (all green in CORRECTNESS_r03/r04, unchanged
-        #      since; the r4-green load-bearing block — bbox,
-        #      bbox_time_indexed, attr_filter_indexed, record_lookup,
-        #      knn, tube, spatial_join_boxes, dedup_exact — moved here
-        #      to make room for the 8 late-r5 additions) ---------------
+        "bbox_s2": _q_bbox_s2,
+        "crawl_frontier": _q_crawl_frontier,
+        "classifier_score": _q_classifier_score,
+        "extract_outlinks": _q_extract_outlinks,
+        "postings": _q_postings,
+        "semdedup": _q_semdedup,
+        "dedup_select": _q_dedup_select,
+        "incr_semdedup": _q_incr_semdedup,
+        "contamination_matrix": _q_contamination_matrix,
+        "decontaminate_spans": _q_decontaminate_spans,
+        "ngram_counts": _q_ngram_counts,
+        "ann_pq": _q_ann_pq,
+        # -- slots 31-40: implementation or oracle changed since last green -
+        "mosaic": _q_mosaic,
+        "ann_ivf": _q_ann_ivf,
         "repetition": _q_repetition,
+        "decontaminate": _q_decontaminate,
+        "boilerplate": _q_boilerplate,
+        "minhash_lsh": _q_minhash_lsh,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
         "density_wkt": _q_density_wkt,
+        "convert_avro": _q_convert_avro,
+        # -- slots 41-50: unchanged functions, churn-adjacent files ---------
+        "embed_dedup": _q_embed_dedup,
+        "ann_cosine": _q_ann_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "temporal_density": _q_temporal_density,
+        "surface": _q_surface,
+        "map_agg_json": _q_map_agg_json,
+        "unique_hist": _q_unique_hist,
+        "extract_text": _q_extract_text,
+        # -- slots 51+: green in r03/r04, AST-verified unchanged since ------
+        "proximity": _q_proximity,
+        "bbox_time": _q_bbox_time,
+        "attr_filter": _q_attr_filter,
+        "count_by_day": _q_count_by_day,
+        "bounds": _q_bounds,
+        "tile_counts": _q_tile_counts,
+        "tile_rollup": _q_tile_rollup,
+        "bin_records": _q_bin_records,
+        "geoparse_docs": _q_geoparse_docs,
+        "replay": _q_replay,
+        "knn_ring": _q_knn_ring,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
+        "convert_delimited": _q_convert_delimited,
+        "vis_filter": _q_vis_filter,
+        "transform_project": _q_transform_project,
+        "dms_parse": _q_dms_parse,
+        "bbox_idl": _q_bbox_idl,
         "bbox_time_indexed": _q_bbox_time_indexed,
         "knn": _q_knn,
         "spatial_join_boxes": _q_spatial_join_boxes,
         "bbox": _q_bbox,
-        # brand-new in late r5 but past the 50-slot window by budget: its
-        # oracle is the identical plain-bbox SQL shape already green via
-        # `bbox`, and the local gate (scripts/check_oracle.py) verified it
-        "bbox_s2": _q_bbox_s2,
         "attr_filter_indexed": _q_attr_filter_indexed,
         "record_lookup": _q_record_lookup,
         "tube": _q_tube,
@@ -2156,7 +2163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_indexed": _q_bbox_indexed,
         "spatial_join_poly": _q_spatial_join_poly,
         "spatial_join_geoms": _q_spatial_join_geoms,
-        "minhash_lsh": _q_minhash_lsh,
         "dedup_components": _q_dedup_components,
         "intersects": _q_intersects,
         "within": _q_within,
@@ -2170,8 +2176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_fixedwidth": _q_convert_fixedwidth,
         "ts_filter": _q_ts_filter,
         "raster_query": _q_raster_query,
-        "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
@@ -2187,27 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_functions": _q_sql_functions,
         "shp_roundtrip": _q_shp_roundtrip,
         "redact_pii": _q_redact_pii,
-        "decontaminate": _q_decontaminate,
         "blocklist": _q_blocklist,
-        # slot 51+ additions (brand-new but past the driver window — the
-        # 50 checked slots are spoken for; verified by the local gate).
-        # The last three close the dedup family: SemDeDup-style semantic
-        # prune, quality-aware canonical selection, and the incremental
-        # snapshot-vs-corpus semantic classify.
-        "crawl_frontier": _q_crawl_frontier,
-        "classifier_score": _q_classifier_score,
-        "extract_outlinks": _q_extract_outlinks,
-        "postings": _q_postings,
-        "semdedup": _q_semdedup,
-        "dedup_select": _q_dedup_select,
-        "incr_semdedup": _q_incr_semdedup,
-        # closing round-5 batch: the decontamination audit/surgery pair,
-        # KenLM-style n-gram counting, and the PQ/ADC compressed-vector
-        # search path (slot 51+; verified by the local full gate)
-        "contamination_matrix": _q_contamination_matrix,
-        "decontaminate_spans": _q_decontaminate_spans,
-        "ngram_counts": _q_ngram_counts,
-        "ann_pq": _q_ann_pq,
     }
 
 
