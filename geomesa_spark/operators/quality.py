@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.operators.textclean import (
     repetition_frac_cols,
+    repetition_prep_cols,
     repetition_raw_cols,
 )
 from geomesa_spark.operators.textstats import lang_pred_col, quality_metric_cols
@@ -91,7 +92,15 @@ def quality_filter(
         qm["punct_ratio"].alias("__pr"),
         qm["stopword_ratio"].alias("__sr"),
         lang_pred_col(text).alias("lang_pred"),
-        *(v.alias(k) for k, v in repetition_raw_cols(text).items()),
+        *(v.alias(k) for k, v in repetition_prep_cols(text).items()),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "__mtl",
+        "__pr",
+        "__sr",
+        "lang_pred",
+        *(v.alias(k) for k, v in repetition_raw_cols().items()),
     )
     rep = repetition_frac_cols()
     pass_length = (F.col("n_tokens") >= min_tokens) & (

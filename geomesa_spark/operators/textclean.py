@@ -78,18 +78,18 @@ def decontaminate(
     = distinct benchmark docs hit.
     """
     did = F.col(id_col)
-    windows = lambda text: _window_hashes(text, n)  # noqa: E731
 
     bgrams = (
         bench.select(
             F.col(bench_id).alias("__bid"),
-            F.explode(windows(F.col(bench_text))).alias("__g"),
+            F.split(F.col(bench_text), " ").alias("__t"),
         )
+        .select("__bid", F.explode(_window_hashes(F.col("__t"), n)).alias("__g"))
         .distinct()
     )
     dgrams = docs.select(
-        did.alias("__id"), F.explode(windows(F.col(text_col))).alias("__g")
-    )
+        did.alias("__id"), F.split(F.col(text_col), " ").alias("__t")
+    ).select("__id", F.explode(_window_hashes(F.col("__t"), n)).alias("__g"))
     return (
         dgrams.join(F.broadcast(bgrams), "__g")
         .groupBy("__id")
@@ -101,23 +101,26 @@ def decontaminate(
     )
 
 
-def _window_starts(text: Column, n: int) -> Column:
-    """0-based start offsets of the token-aligned ``n``-gram windows; docs
-    shorter than ``n`` tokens yield an EMPTY array (a bare
-    ``sequence(0, size-n)`` would DESCEND for negative stops — Spark
-    sequences are never empty)."""
-    toks = F.split(text, " ")
+def _window_starts(toks: Column, n: int) -> Column:
+    """0-based start offsets of the token-aligned ``n``-gram windows over a
+    pre-split token array; docs shorter than ``n`` tokens yield an EMPTY
+    array (a bare ``sequence(0, size-n)`` would DESCEND for negative stops
+    — Spark sequences are never empty)."""
     return F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
 
 
-def _window_hashes(text: Column, n: int) -> Column:
+def _window_hashes(toks: Column, n: int) -> Column:
     """Token-aligned ``n``-gram windows as 64-bit hashes — the one window
-    kernel every decontamination operator shares."""
-    toks = F.split(text, " ")
+    kernel every decontamination operator shares. Takes the token ARRAY
+    (callers project ``split(text, ' ')`` into a column first): the
+    transform below references the array once per window position, and
+    Catalyst does not CSE a ``split()`` across lambda scopes — an inline
+    split re-tokenizes the document per position (the same measured-6x
+    trap fixed in ``scoring.ngram_counts``)."""
     return F.transform(
-        _window_starts(text, n),
+        _window_starts(toks, n),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
     )
 
@@ -147,15 +150,16 @@ def contamination_matrix(
     bgrams = (
         bench.select(
             F.col(bench_id).alias("__bid"),
-            F.explode(_window_hashes(F.col(bench_text), n)).alias("__g"),
+            F.split(F.col(bench_text), " ").alias("__t"),
         )
+        .select("__bid", F.explode(_window_hashes(F.col("__t"), n)).alias("__g"))
         .distinct()
     )
     totals = bgrams.groupBy("__bid").agg(F.count("*").alias("n_bench_grams"))
     dgrams = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode(_window_hashes(F.col(text_col), n)).alias("__g"),
-    )
+        F.split(F.col(text_col), " ").alias("__t"),
+    ).select("__id", F.explode(_window_hashes(F.col("__t"), n)).alias("__g"))
     hits = (
         dgrams.join(F.broadcast(bgrams), "__g")
         .groupBy("__bid")
@@ -211,34 +215,48 @@ def decontaminate_spans(
     """
     did = F.col(id_col)
     dgrams = docs.select(
-        did.alias("__id"),
-        F.posexplode(_window_hashes(F.col(text_col), n)).alias("__pos", "__g"),
+        did.alias("__id"), F.split(F.col(text_col), " ").alias("__t")
+    ).select(
+        "__id",
+        F.posexplode(_window_hashes(F.col("__t"), n)).alias("__pos", "__g"),
     )
     bgrams = bench.select(
-        F.explode(_window_hashes(F.col(bench_text), n)).alias("__g")
-    ).distinct()
+        F.split(F.col(bench_text), " ").alias("__t")
+    ).select(F.explode(_window_hashes(F.col("__t"), n)).alias("__g")).distinct()
     starts = (
         dgrams.join(F.broadcast(bgrams), "__g")
         .groupBy("__id")
         .agg(F.collect_set("__pos").alias("__starts"))
     )
 
-    joined = docs.join(starts, did == F.col("__id"), "left")
-    toks = F.split(F.col(text_col), " ")
-    # keep token i unless a matched window [s, s+n) covers it
-    kept = F.filter(
-        toks,
-        lambda t, i: ~F.exists(
-            F.col("__starts"), lambda s: (i >= s) & (i < s + F.lit(n))
-        ),
+    # stage the token array and the surviving-token array once per row —
+    # `kept` is consumed twice below (rebuild + count) and the filter's
+    # exists() probe is O(tokens * |starts|) per evaluation
+    joined = docs.join(starts, did == F.col("__id"), "left").select(
+        did,
+        F.col(text_col),
+        F.col("__starts"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).select(
+        did,
+        F.col(text_col),
+        F.col("__starts"),
+        F.col("__toks"),
+        # keep token i unless a matched window [s, s+n) covers it
+        F.filter(
+            F.col("__toks"),
+            lambda t, i: ~F.exists(
+                F.col("__starts"), lambda s: (i >= s) & (i < s + F.lit(n))
+            ),
+        ).alias("__kept"),
     )
     clean = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
-        F.concat_ws(" ", kept)
+        F.concat_ws(" ", F.col("__kept"))
     )
-    n_tokens = F.size(toks).cast("long")
+    n_tokens = F.size(F.col("__toks")).cast("long")
     n_kept = F.when(
         F.col("__starts").isNull(), n_tokens
-    ).otherwise(F.size(kept).cast("long"))
+    ).otherwise(F.size(F.col("__kept")).cast("long"))
     return joined.select(
         did,
         clean.alias("clean_text"),
@@ -299,11 +317,28 @@ def _run_length_fold(sorted_arr: Column, finish) -> Column:
     return F.aggregate(sorted_arr, init, step, fin)
 
 
-def repetition_raw_cols(text: Column) -> dict[str, Column]:
-    """The per-row repetition tallies (line/bigram run-length folds),
-    unaliased, keyed by the intermediate names ``repetition_signals`` and
+def repetition_prep_cols(text: Column) -> dict[str, Column]:
+    """Stage-0 materializations for :func:`repetition_raw_cols`: the line
+    array, the newline-normalized token array, and the normalized length.
+    Projecting the ARRAYS into columns before the fold stage matters
+    because the bigram transform references the token array once per
+    position, and Catalyst does not CSE a ``split()`` across lambda
+    scopes — inline, each position re-tokenizes the document (the same
+    measured-6x trap fixed in ``scoring.ngram_counts``)."""
+    norm = F.regexp_replace(text, "\n", " ")
+    return {
+        "__rlines": F.split(text, "\n"),
+        "__rtoks": F.split(norm, " "),
+        "__rtlen": F.length(norm).cast("long"),
+    }
+
+
+def repetition_raw_cols() -> dict[str, Column]:
+    """The per-row repetition tallies (line/bigram run-length folds) over
+    the staged :func:`repetition_prep_cols` columns, unaliased, keyed by
+    the intermediate names ``repetition_signals`` and
     ``quality.quality_filter`` stage them under before the fraction step."""
-    lines_arr = F.split(text, "\n")
+    lines_arr = F.col("__rlines")
     n_lines = F.size(lines_arr).cast("long")
     tot_chars = F.aggregate(
         lines_arr, F.lit(0).cast("long"),
@@ -316,8 +351,7 @@ def repetition_raw_cols(text: Column) -> dict[str, Column]:
         ),
     )
 
-    norm = F.regexp_replace(text, "\n", " ")
-    toks = F.split(norm, " ")
+    toks = F.col("__rtoks")
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
     ).otherwise(F.array().cast("array<int>"))
@@ -332,7 +366,7 @@ def repetition_raw_cols(text: Column) -> dict[str, Column]:
         "__tc": tot_chars,
         "__ls": line_sig,
         "__bb": bg_best,
-        "__tlen": F.length(norm).cast("long"),
+        "__tlen": F.col("__rtlen"),
     }
 
 
@@ -383,9 +417,16 @@ def repetition_signals(
     """
 
     text = F.col(text_col)
-    base = df.filter(text.isNotNull()).select(
-        F.col(id_col),
-        *(v.alias(k) for k, v in repetition_raw_cols(text).items()),
+    base = (
+        df.filter(text.isNotNull())
+        .select(
+            F.col(id_col),
+            *(v.alias(k) for k, v in repetition_prep_cols(text).items()),
+        )
+        .select(
+            F.col(id_col),
+            *(v.alias(k) for k, v in repetition_raw_cols().items()),
+        )
     )
     return base.select(
         F.col(id_col),
