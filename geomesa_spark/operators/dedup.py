@@ -397,7 +397,11 @@ def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     gram at offset j is the ``n``-token slice starting there (shorter at the
     tail when the doc has < n tokens, mirroring python's ``wx[j:j+n]``).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the token array is staged in its own projection: the gram transform
+    # below references it once per position, and Catalyst does not CSE a
+    # split() across lambda scopes — inline, each position re-tokenizes
+    # the document (the measured-6x ngram_counts trap)
+    toks = F.col("__gtoks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.lit(0), F.size(toks) - n)),
@@ -417,10 +421,17 @@ def _gram_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    return df.select(F.col(id_col), F.explode(zipped).alias("zz")).select(
-        F.col(id_col),
-        F.col("zz.1").alias("n_grams"),
-        F.col("zz.0").alias("gram"),
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__gtoks"),
+        )
+        .select(F.col(id_col), F.explode(zipped).alias("zz"))
+        .select(
+            F.col(id_col),
+            F.col("zz.1").alias("n_grams"),
+            F.col("zz.0").alias("gram"),
+        )
     )
 
 
