@@ -598,6 +598,107 @@ def span_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 50,
+) -> DataFrame:
+    """Token-granular exact-substring SELF-dedup (the ExactSubstr half of
+    Lee et al. 2022 proper): any token-aligned ``n``-gram window that
+    occurs more than once ANYWHERE in the corpus keeps only its first
+    occurrence in ``(id, position)`` order — every other occurrence's
+    token range is surgically cut and the survivors re-join on single
+    spaces. A duplicated region of length L > n is covered by its
+    L - n + 1 duplicate windows, so the whole region is removed, exactly
+    the suffix-array semantics.
+
+    Completes the exact-substring family: :func:`span_dedup` removes
+    duplicated PARAGRAPHS (coarse, cheapest), ``textclean.
+    decontaminate_spans`` cuts corpus windows matching an external
+    benchmark, and this one is corpus-vs-itself at stride-1 token
+    granularity. Shares the window kernel (``textclean._window_hashes``)
+    with the decontamination operators.
+
+    Scale shape (10^12 docs): two window-hash-partitioned exchanges —
+    one map-side-combined keeper aggregate (min (id, pos) struct +
+    count), one equi-join back to tag occurrences — then ONE doc-keyed
+    aggregate of removal starts (ints bounded by the doc's own window
+    count) and one equi-join of that (dup-docs-only) table back to the
+    corpus; the rebuild is a pure codegen array filter. Deliberately NOT
+    a per-hash window function: a viral boilerplate window duplicated
+    across billions of pages would pin one task, while the agg combines
+    map-side and the tag join is AQE-skew-splittable. Join fanout per
+    window equals its occurrence count — that IS the removal list, output
+    not amplification. Window text never shuffles, only 64-bit hashes
+    (~2^-64 per-pair collision odds; a collision cuts a non-duplicate
+    window — the conservative direction for training data).
+
+    Returns one row per input doc: (id, clean_text, n_tokens, n_removed);
+    docs with no duplicated window pass through byte-identical.
+    """
+    from geomesa_spark.operators.textclean import _window_hashes
+
+    did = F.col(id_col)
+    wins = df.select(
+        did.alias("__id"), F.split(F.col(text_col), " ").alias("__t")
+    ).select(
+        "__id",
+        F.posexplode(_window_hashes(F.col("__t"), n)).alias("__pos", "__g"),
+    )
+    keepers = (
+        wins.groupBy("__g")
+        .agg(
+            F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__k"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .filter(F.col("__c") >= 2)
+    )
+    starts = (
+        wins.join(keepers, "__g")
+        .filter(
+            (F.col("__id") != F.col("__k.__id"))
+            | (F.col("__pos") != F.col("__k.__pos"))
+        )
+        .groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+    joined = (
+        df.join(starts, did == F.col("__id"), "left")
+        .select(
+            did,
+            F.col(text_col),
+            F.col("__starts"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        .select(
+            did,
+            F.col(text_col),
+            F.col("__starts"),
+            F.col("__toks"),
+            F.filter(
+                F.col("__toks"),
+                lambda t, i: ~F.exists(
+                    F.col("__starts"), lambda s: (i >= s) & (i < s + F.lit(n))
+                ),
+            ).alias("__kept"),
+        )
+    )
+    clean = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", F.col("__kept"))
+    )
+    n_tokens = F.size(F.col("__toks")).cast("long")
+    n_kept = F.when(
+        F.col("__starts").isNull(), n_tokens
+    ).otherwise(F.size(F.col("__kept")).cast("long"))
+    return joined.select(
+        did,
+        clean.alias("clean_text"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - n_kept).alias("n_removed"),
+    )
+
+
 def corpus_fingerprints(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 64,
     shingle_words: int = 3, seed: int = 42,

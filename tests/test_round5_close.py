@@ -271,3 +271,65 @@ def test_ngram_counts_topk_cut_is_deterministic(spark):
     rows = ngram_counts(docs, orders=(1,), min_count=1, topk_per_order=3).collect()
     # all unigrams tie at count 3 -> the (n DESC, gram ASC) cut keeps a, b, c
     assert sorted(r["gram"] for r in rows) == ["a", "b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# exact-substring self-dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def test_substr_dedup_cross_doc_surgery(spark):
+    """A later doc quoting an earlier doc's window loses exactly the union
+    of its duplicated windows' token coverage; the keeper and untouched
+    docs pass through byte-identical."""
+    from geomesa_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d z w"),
+            (3, "solo text here only once"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, "text", "doc_id", n=3).collect()
+    }
+    # doc 1 is the (min doc_id, pos) keeper for both shared windows
+    assert got[1]["clean_text"] == "a b c d e f"
+    assert got[1]["n_removed"] == 0
+    # doc 2 shares windows "a b c"@2 and "b c d"@3 -> coverage [2,6)
+    assert got[2]["clean_text"] == "x y z w"
+    assert got[2]["n_removed"] == 4
+    assert got[2]["n_tokens"] == 8
+    assert got[3]["clean_text"] == "solo text here only once"
+    assert got[3]["n_removed"] == 0
+
+
+def test_substr_dedup_internal_repeat(spark):
+    """Within-document repetition dedups against the doc's own earliest
+    occurrence: every window class keeps its first position."""
+    from geomesa_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame([(7, "p q r p q r p q")], "doc_id long, text string")
+    row = exact_substring_dedup(df, "text", "doc_id", n=3).collect()[0]
+    # dup windows at pos 3,4,5 cover tokens [3,8) -> first period survives
+    assert row["clean_text"] == "p q r"
+    assert row["n_removed"] == 5
+    assert row["n_tokens"] == 8
+
+
+def test_substr_dedup_short_docs_pass_through(spark):
+    """Docs shorter than the window length emit no windows and are
+    untouched — including the empty string."""
+    from geomesa_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substring_dedup(df, "text", "doc_id", n=3).collect()
+    }
+    assert got == {1: "a b", 2: "a b", 3: ""}
