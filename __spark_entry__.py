@@ -1774,6 +1774,33 @@ def _q_incr_dedup(spark, sf_dir):
     return incremental_dedup(snapshot, fp, "text", "doc_id", threshold=0.5)
 
 
+def _q_bloom_seen(spark, sf_dir):
+    """Bloom seen-set prefilter (bloom.bloom_new_keys): the EXACT set of
+    snapshot URLs absent from the corpus URL seen-set, computed via a
+    broadcast Bloom bitset built in one narrow corpus pass — the
+    zero-shuffle probe clears definitely-new rows and only maybe-seen
+    candidates reach the exact verify anti-join. Planted fixture:
+    corpus = urls of even doc_ids; the snapshot re-uses url(doc_id-1)
+    for doc_id%4==1 (seen), url(doc_id) otherwise — so even ids and
+    %4==1 are seen and exactly the %4==3 quarter is new. Output is
+    bloom-independent (false positives only add verify candidates), so
+    the oracle is a plain anti-join over the same arithmetic urls."""
+    from geomesa_spark.operators.bloom import bloom_new_keys
+
+    docs = _docs(_utc(spark), sf_dir, spread=False).select("doc_id")
+
+    def url(c):
+        return F.format_string("https://h%d.example/p/%d", c % 97, c)
+
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 2 == 0).select(url(did).alias("url"))
+    snapshot = docs.select(
+        "doc_id",
+        F.when(did % 4 == 1, url(did - 1)).otherwise(url(did)).alias("url"),
+    )
+    return bloom_new_keys(snapshot, corpus, "url").select("doc_id", "url")
+
+
 def _q_postings(spark, sf_dir):
     """Inverted-index postings build (scoring.build_postings, k=3,
     min_df=2): per term the document frequency and the top-3 docs by
@@ -2083,9 +2110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boilerplate (textclean rework), minhash_lsh (signature kernel),
     # text_quality/lang_id (textstats rework), density_wkt
     # (density_geometries vectorization), convert_avro (avro_ingest).
-    # Slots 41-50: r3-green queries whose own functions are unchanged but
-    # which share a file with round-4/5 churn (ann.py, dedup.py,
-    # aggregations.py, textstats.py) - re-checked belt-and-braces.
+    # Slots 41-50: two late-round-5 additions with no prior row anywhere
+    # (substr_dedup, bloom_seen - "never had a driver row" outranks a
+    # belt-and-braces re-check under this policy), then r3-green queries
+    # whose own functions are unchanged but which share a file with
+    # round-4/5 churn (ann.py, dedup.py, aggregations.py, textstats.py)
+    # - re-checked belt-and-braces. The two displaced aggregations.py
+    # re-checks (map_agg_json, unique_hist) keep coverage via slot 39's
+    # density_wkt plus temporal_density/surface in this block.
     # Slots 51+: every entry has a green row in CORRECTNESS_r03/r04 and
     # its entry callable, oracle SQL, and reachable engine functions are
     # byte-identical (AST-verified) since that row was recorded; the
@@ -2134,7 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "density_wkt": _q_density_wkt,
         "convert_avro": _q_convert_avro,
-        # -- slots 41-50: unchanged functions, churn-adjacent files ---------
+        # -- slots 41-50: late new queries, then churn-adjacent re-checks ---
+        "substr_dedup": _q_substr_dedup,
+        "bloom_seen": _q_bloom_seen,
         "embed_dedup": _q_embed_dedup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
@@ -2142,13 +2176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "temporal_density": _q_temporal_density,
         "surface": _q_surface,
-        "map_agg_json": _q_map_agg_json,
-        "unique_hist": _q_unique_hist,
         "extract_text": _q_extract_text,
         # -- slots 51+: green in r03/r04, AST-verified unchanged since ------
-        # (substr_dedup is brand-new past the window: the 50 checked slots
-        # are spoken for; verified by the local full gate)
-        "substr_dedup": _q_substr_dedup,
+        "map_agg_json": _q_map_agg_json,
+        "unique_hist": _q_unique_hist,
         "proximity": _q_proximity,
         "bbox_time": _q_bbox_time,
         "attr_filter": _q_attr_filter,
@@ -4310,6 +4341,30 @@ def oracle_sql() -> dict[str, str]:
                    h.n_grams_hit / CAST(t.n_bench_grams AS DOUBLE)
                        AS frac_grams_hit
             FROM hits h JOIN totals t ON h.bid = t.bid
+        """,
+        # twin of bloom.bloom_new_keys: the operator's output is exact by
+        # contract (Bloom false positives only add verify candidates; false
+        # negatives are impossible), so the twin is a plain anti-join over
+        # the same arithmetic url construction
+        "bloom_seen": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            corpus AS (
+                SELECT printf('https://h%d.example/p/%d',
+                              doc_id % 97, doc_id) AS url
+                FROM ids WHERE doc_id % 2 = 0
+            ),
+            snap AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 1
+                            THEN printf('https://h%d.example/p/%d',
+                                        (doc_id - 1) % 97, doc_id - 1)
+                            ELSE printf('https://h%d.example/p/%d',
+                                        doc_id % 97, doc_id) END AS url
+                FROM ids
+            )
+            SELECT s.doc_id, s.url
+            FROM snap s
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.url = s.url)
         """,
         # twin of dedup.exact_substring_dedup: every 8-token window at
         # stride 1, struct-min keeper election per window string (Spark

@@ -453,6 +453,9 @@ def _time_queries(spark) -> dict[str, float]:
         # n-gram LM counts, PQ/ADC compressed-vector search)
         "contamination_matrix", "decontaminate_spans", "ngram_counts",
         "ann_pq",
+        # appended final-r5 batch (S2 cell scan, ExactSubstr self-dedup,
+        # Bloom seen-set prefilter)
+        "bbox_s2", "substr_dedup", "bloom_seen",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup
