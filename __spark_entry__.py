@@ -1220,6 +1220,37 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(p, url_col="url", size_col="n_chars")
 
 
+def _q_hll_domains(spark, sf_dir):
+    """Mergeable per-domain distinct-page panel (operators/sketches.py):
+    the crawl-url table split into two "ingest deltas" by doc_id parity,
+    per-host DataSketches HLL sketches built per delta, union-merged,
+    and read as estimates — the incremental path that never re-scans
+    prior deltas. Oracle-comparable because HLL union is lossless
+    (merged state == single-pass state) and at driver scales every host
+    sits in the sparse coupon regime where the deterministic estimate IS
+    the exact distinct count — the DuckDB twin is a plain
+    COUNT(DISTINCT canonical_url) per host (exactness pinned per-sf by
+    test_sketches against domain_stats; lgk=12 leaves 4 orders of
+    headroom over the ~5-50 canonical pages per fixture host)."""
+    from geomesa_spark.functions.urls import canonicalize_url, url_host
+    from geomesa_spark.operators.sketches import (
+        distinct_sketches,
+        merge_sketch_tables,
+        sketch_estimates,
+    )
+
+    p = _url_pages(_utc(spark), sf_dir).select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        canonicalize_url(F.col("url")).alias("canon"),
+    )
+    deltas = [
+        distinct_sketches(p.filter(F.col("doc_id") % 2 == i), "canon", ["host"])
+        for i in (0, 1)
+    ]
+    return sketch_estimates(merge_sketch_tables(*deltas), "n_canonical")
+
+
 def _q_sessionize(spark, sf_dir):
     from geomesa_spark.operators.sessions import session_rollup
 
@@ -2118,14 +2149,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boilerplate (textclean rework), minhash_lsh (signature kernel),
     # text_quality/lang_id (textstats rework), density_wkt
     # (density_geometries vectorization), convert_avro (avro_ingest).
-    # Slots 41-50: two late-round-5 additions with no prior row anywhere
-    # (substr_dedup, bloom_seen - "never had a driver row" outranks a
-    # belt-and-braces re-check under this policy), then r3-green queries
-    # whose own functions are unchanged but which share a file with
-    # round-4/5 churn (ann.py, dedup.py, aggregations.py, textstats.py)
-    # - re-checked belt-and-braces. The two displaced aggregations.py
-    # re-checks (map_agg_json, unique_hist) keep coverage via slot 39's
-    # density_wkt plus temporal_density/surface in this block.
+    # Slots 41-50: three late-round-5 additions with no prior row anywhere
+    # (substr_dedup, bloom_seen, hll_domains - "never had a driver row"
+    # outranks a belt-and-braces re-check under this policy), then
+    # r3-green queries whose own functions are unchanged but which share
+    # a file with round-4/5 churn (ann.py, dedup.py, aggregations.py,
+    # textstats.py) - re-checked belt-and-braces. The three displaced
+    # re-checks keep coverage: map_agg_json/unique_hist via slot 39's
+    # density_wkt plus temporal_density/surface here; ann_lsh via
+    # ann_cosine + embed_dedup (same ann.py paths).
     # Slots 51+: every entry has a green row in CORRECTNESS_r03/r04 and
     # its entry callable, oracle SQL, and reachable engine functions are
     # byte-identical (AST-verified) since that row was recorded; the
@@ -2177,15 +2209,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- slots 41-50: late new queries, then churn-adjacent re-checks ---
         "substr_dedup": _q_substr_dedup,
         "bloom_seen": _q_bloom_seen,
+        "hll_domains": _q_hll_domains,
         "embed_dedup": _q_embed_dedup,
         "ann_cosine": _q_ann_cosine,
-        "ann_lsh": _q_ann_lsh,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "temporal_density": _q_temporal_density,
         "surface": _q_surface,
         "extract_text": _q_extract_text,
         # -- slots 51+: green in r03/r04, AST-verified unchanged since ------
+        "ann_lsh": _q_ann_lsh,
         "map_agg_json": _q_map_agg_json,
         "unique_hist": _q_unique_hist,
         "proximity": _q_proximity,
@@ -4176,6 +4209,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pages,
                    CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
                    CAST(sum(n_chars) AS BIGINT) AS total_bytes
+            FROM canon GROUP BY host
+        """,
+        # twin of sketches.distinct_sketches -> merge -> estimate: HLL
+        # union is lossless and driver-scale hosts sit in the sparse
+        # coupon regime where the deterministic estimate is the exact
+        # distinct count, so the twin is the exact aggregate
+        "hll_domains": _URL_CANON_CTE + """
+            SELECT host,
+                   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical
             FROM canon GROUP BY host
         """,
         # twin of operators.sessions.session_rollup: same (ts_sec, event_id)

@@ -454,8 +454,8 @@ def _time_queries(spark) -> dict[str, float]:
         "contamination_matrix", "decontaminate_spans", "ngram_counts",
         "ann_pq",
         # appended final-r5 batch (S2 cell scan, ExactSubstr self-dedup,
-        # Bloom seen-set prefilter)
-        "bbox_s2", "substr_dedup", "bloom_seen",
+        # Bloom seen-set prefilter, mergeable HLL domain panel)
+        "bbox_s2", "substr_dedup", "bloom_seen", "hll_domains",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

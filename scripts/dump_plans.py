@@ -132,6 +132,7 @@ AUDIT = [
     ("domain_mixture", "ONE domain-keyed hash aggregate + single-row totals broadcast; no sort"),
     ("crawl_delta", "ONE full-outer equi-join on the unique url key; (url,fp) pairs only; no window"),
     ("bloom_seen", "probe runs once inside the checkpointed snapshot (ExistingRDD scans); LeftAnti fed by the maybe-seen slice only; definitely-new branch join-free union arm"),
+    ("hll_domains", "per-delta map-side-combined sketch aggregates, union, ONE host-keyed hll_union merge; no join, no sort"),
     ("normalize_text", "ONE ArrowEvalPython (NFC) inside a codegen regex chain; ZERO shuffles"),
     ("badwords", "literal-array intersect in ONE WholeStageCodegen map; ZERO shuffles, no Python"),
     ("anchor_terms", "map-side-combined (host,term) agg then WindowGroupLimit partial top-k; ONE window"),
