@@ -1883,6 +1883,68 @@ def _q_extract_outlinks(spark, sf_dir):
     return extract_outlinks(pages)
 
 
+def _q_sitemaps(spark, sf_dir):
+    """Sitemap / sitemap-index parsing (webpages.parse_sitemaps) over
+    arithmetically-planted XML: hosts h=doc_id%389; doc_id%7==0 plants a
+    two-child <sitemapindex> (the nested-index case), every other doc a
+    three-entry <urlset> whose <loc> carries surrounding whitespace
+    (trim parity), whose <lastmod> appears only when (doc_id+j)%2==0
+    (NULL parity via nullif), and whose j==3 entry on doc_id%11==0 has
+    NO <loc> (dropped-row parity). Entries span lines so the (?s)
+    non-greedy block regex is exercised. The oracle rebuilds the
+    byte-identical XML with printf/|| and runs the SAME RE2-subset
+    regexes in DuckDB — regex-semantics parity, like extract_outlinks."""
+    from geomesa_spark.sources.webpages import parse_sitemaps
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    h = did % 389
+
+    def urlentry(j):
+        loc = F.format_string(
+            "<url>\n  <loc> https://s%d.example/p/%d </loc>\n", h, did * 10 + j
+        )
+        lastmod = F.when(
+            (did + j) % 2 == 0,
+            F.format_string(
+                "<lastmod>2025-%02d-%02d</lastmod>",
+                (did + j) % 12 + 1,
+                (did * j) % 28 + 1,
+            ),
+        ).otherwise(F.lit(""))
+        entry = F.concat(loc, lastmod, F.lit("</url>\n"))
+        if j == 3:
+            entry = F.when(
+                did % 11 == 0, F.lit("<url><lastmod>x</lastmod></url>\n")
+            ).otherwise(entry)
+        return entry
+
+    def idxentry(j):
+        return F.format_string(
+            "<sitemap>\n<loc>https://s%d.example/sitemap%d.xml</loc>"
+            "<lastmod>2025-01-0%d</lastmod></sitemap>\n",
+            h,
+            F.lit(j),
+            F.lit(j),
+        )
+
+    xml = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit("<sitemapindex>\n"), idxentry(1), idxentry(2), F.lit("</sitemapindex>")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset>\n"), urlentry(1), urlentry(2), urlentry(3), F.lit("</urlset>")
+        )
+    )
+    pages = docs.select(
+        F.format_string("https://s%d.example/sitemaps/%d.xml", h, did).alias("url"),
+        F.encode(xml, "UTF-8").alias("xml"),
+    )
+    return parse_sitemaps(pages)
+
+
 def _q_classifier_score(spark, sf_dir):
     """Linear quality-classifier scoring (quality.classifier_filter, flag
     mode, declared stand-in weights): logit = round(bias + Σ w·feature, 6)
@@ -2210,14 +2272,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": _q_substr_dedup,
         "bloom_seen": _q_bloom_seen,
         "hll_domains": _q_hll_domains,
+        "sitemaps": _q_sitemaps,
         "embed_dedup": _q_embed_dedup,
         "ann_cosine": _q_ann_cosine,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "temporal_density": _q_temporal_density,
-        "surface": _q_surface,
         "extract_text": _q_extract_text,
         # -- slots 51+: green in r03/r04, AST-verified unchanged since ------
+        "surface": _q_surface,
         "ann_lsh": _q_ann_lsh,
         "map_agg_json": _q_map_agg_json,
         "unique_hist": _q_unique_hist,
@@ -3736,6 +3799,55 @@ def oracle_sql() -> dict[str, str]:
         # twin of webpages.extract_outlinks: the html is rebuilt
         # arithmetically and DuckDB runs the SAME two RE2-subset regexes
         # (backref-free by design) — parity of the regex semantics
+        # twin of webpages.parse_sitemaps: rebuilds the byte-identical
+        # planted XML with printf/||/chr(10) and runs the SAME (?s)
+        # non-greedy RE2-subset block regexes plus the same per-block
+        # loc/lastmod extraction — regex-semantics parity
+        "sitemaps": """
+            WITH base AS (
+                SELECT doc_id, doc_id % 389 AS h FROM documents
+            ),
+            xml AS (
+                SELECT printf('https://s%d.example/sitemaps/%d.xml', h, doc_id) AS url,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                         '<sitemapindex>' || chr(10) ||
+                         array_to_string(list_transform([1, 2], j ->
+                           printf('<sitemap>%s<loc>https://s%d.example/sitemap%d.xml</loc><lastmod>2025-01-0%d</lastmod></sitemap>%s',
+                                  chr(10), h, j, j, chr(10))), '') ||
+                         '</sitemapindex>'
+                       ELSE
+                         '<urlset>' || chr(10) ||
+                         array_to_string(list_transform([1, 2, 3], j ->
+                           CASE WHEN j = 3 AND doc_id % 11 = 0
+                                THEN '<url><lastmod>x</lastmod></url>' || chr(10)
+                                ELSE printf('<url>%s  <loc> https://s%d.example/p/%d </loc>%s',
+                                            chr(10), h, doc_id * 10 + j, chr(10))
+                                  || CASE WHEN (doc_id + j) % 2 = 0
+                                          THEN printf('<lastmod>2025-%02d-%02d</lastmod>',
+                                                      (doc_id + j) % 12 + 1,
+                                                      (doc_id * j) % 28 + 1)
+                                          ELSE '' END
+                                  || '</url>' || chr(10)
+                           END), '') ||
+                         '</urlset>'
+                       END AS x
+                FROM base
+            ),
+            blocks AS (
+                SELECT url, 'url' AS kind,
+                       unnest(regexp_extract_all(x, '(?s)<url>(.*?)</url>', 1)) AS b
+                FROM xml
+                UNION ALL
+                SELECT url, 'sitemap' AS kind,
+                       unnest(regexp_extract_all(x, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+                FROM xml
+            )
+            SELECT url, kind,
+                   trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+                   nullif(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+            FROM blocks
+            WHERE trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) <> ''
+        """,
         "extract_outlinks": """
             WITH pg AS (
               SELECT doc_id, doc_id // 3 AS g, (doc_id // 3) % 997 AS h

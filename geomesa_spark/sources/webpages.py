@@ -153,6 +153,58 @@ def extract_outlinks(
     )
 
 
+def parse_sitemaps(
+    df: DataFrame, xml_col: str = "xml", url_col: str = "url"
+) -> DataFrame:
+    """Sitemap / sitemap-index parsing — the crawl-DISCOVERY half of the
+    politeness surface (``robots.py`` is the permission half; a crawler
+    reads both before scheduling a host). Emits one row per entry:
+    ``(url, kind, loc, lastmod)`` where ``kind`` is ``url`` for
+    ``<urlset>`` page entries and ``sitemap`` for ``<sitemapindex>``
+    child references (the nested-index case a 10^12-url frontier feeds
+    back into its fetch queue), ``loc`` is the whitespace-trimmed
+    ``<loc>`` target, and ``lastmod`` is the raw ``<lastmod>`` string or
+    NULL — left unparsed because real-world lastmod values mix W3C
+    dates, datetimes, and garbage; downstream ``delta.crawl_frontier``
+    treats it as a refresh hint, not a timestamp.
+
+    Like :func:`extract_outlinks`, every pattern stays in the
+    Java-regex/RE2 common subset (``(?s)`` + non-greedy, no backrefs)
+    so the DuckDB twin runs the SAME regexes — regex-semantics parity,
+    not just row parity. Blocks without a ``<loc>`` emit no row.
+
+    Scale shape (10^8 sitemaps/snapshot): pure whole-stage codegen —
+    two ``regexp_extract_all`` calls, one explode, two per-block
+    ``regexp_extract``; zero exchanges. The explode fanout is the
+    sitemap's true entry count (capped at 50k by the protocol spec).
+    """
+    s = F.col(xml_col).cast("string")
+    blocks = F.concat(
+        F.transform(
+            F.regexp_extract_all(s, F.lit(r"(?s)<url>(.*?)</url>"), 1),
+            lambda b: F.struct(F.lit("url").alias("kind"), b.alias("block")),
+        ),
+        F.transform(
+            F.regexp_extract_all(s, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1),
+            lambda b: F.struct(F.lit("sitemap").alias("kind"), b.alias("block")),
+        ),
+    )
+    e = df.select(
+        F.col(url_col).alias("url"), F.explode(blocks).alias("e")
+    ).select(
+        "url",
+        F.col("e.kind").alias("kind"),
+        F.trim(F.regexp_extract(F.col("e.block"), r"<loc>([^<]*)</loc>", 1)).alias(
+            "loc"
+        ),
+        F.nullif(
+            F.regexp_extract(F.col("e.block"), r"<lastmod>([^<]*)</lastmod>", 1),
+            F.lit(""),
+        ).alias("lastmod"),
+    )
+    return e.filter(F.col("loc") != "")
+
+
 def geoparse(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic geoparse: doc -> point (lon, lat).
 

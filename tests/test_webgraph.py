@@ -289,3 +289,57 @@ def test_crawl_frontier_partial_weights_keep_unlisted_statuses(spark):
            for r in crawl_frontier(delta, ranks, n_per_host=5,
                                     weights={"changed": 5}).collect()}
     assert got == {"https://a.example/1": 5 * 10, "https://a.example/2": 1 * 10}
+
+
+# --- sitemap parsing (sources/webpages.parse_sitemaps) ---------------------
+
+
+def _sm(spark, xml: str):
+    from geomesa_spark.sources.webpages import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [("https://h.example/sitemap.xml", xml.encode())], "url string, xml binary"
+    )
+    return parse_sitemaps(df).collect()
+
+
+def test_sitemap_urlset_multiline_trim_and_lastmod_null(spark):
+    rows = _sm(
+        spark,
+        "<urlset>\n<url>\n  <loc>  https://h.example/a  </loc>\n</url>"
+        "<url><loc>https://h.example/b</loc>"
+        "<lastmod>2025-03-04</lastmod></url>\n</urlset>",
+    )
+    got = {(r.kind, r.loc, r.lastmod) for r in rows}
+    assert got == {
+        ("url", "https://h.example/a", None),  # trimmed, no lastmod -> NULL
+        ("url", "https://h.example/b", "2025-03-04"),
+    }
+
+
+def test_sitemap_index_children(spark):
+    rows = _sm(
+        spark,
+        "<sitemapindex><sitemap><loc>https://h.example/s1.xml</loc></sitemap>\n"
+        "<sitemap>\n<loc>https://h.example/s2.xml</loc>"
+        "<lastmod>2025-01-02</lastmod></sitemap></sitemapindex>",
+    )
+    assert [(r.kind, r.loc) for r in rows] == [
+        ("sitemap", "https://h.example/s1.xml"),
+        ("sitemap", "https://h.example/s2.xml"),
+    ]
+
+
+def test_sitemap_blocks_without_loc_drop(spark):
+    rows = _sm(
+        spark,
+        "<urlset><url><lastmod>2025-01-01</lastmod></url>"
+        "<url><loc></loc></url>"
+        "<url><loc>https://h.example/ok</loc></url></urlset>",
+    )
+    assert [r.loc for r in rows] == ["https://h.example/ok"]
+
+
+def test_sitemap_empty_and_garbage_inputs(spark):
+    assert _sm(spark, "") == []
+    assert _sm(spark, "not xml at all <loc>orphan</loc>") == []
