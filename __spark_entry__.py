@@ -1972,15 +1972,36 @@ def _q_crawl_frontier(spark, sf_dir):
     independently checked and timed as the `pagerank` query)."""
     from geomesa_spark.operators.delta import crawl_frontier
 
-    import os
-
     delta = _q_crawl_delta(spark, sf_dir)
     ranks = _cached_table(
         _utc(spark),
-        f"host_ranks_i4_d85_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"host_ranks_i4_d85_{_source_fingerprint(sf_dir, 'documents')}",
         lambda s: _q_pagerank(s, sf_dir),
     )
     return crawl_frontier(delta, ranks, n_per_host=3)
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Cache-key component for cached tables DERIVED FROM INPUT DATA (the
+    pure-generator caches key on their constants instead): basename plus
+    a filesystem fingerprint (file count, total bytes, newest mtime) of
+    the source parquet, so a regenerated fixture or two dirs sharing a
+    basename can never serve stale derived rows. Driver-side scandir —
+    no Spark job, so constructing a cached query stays plan-only."""
+    import os
+
+    total, newest, n = 0, 0, 0
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    paths = [path]
+    if os.path.isdir(path):
+        paths = [e.path for e in os.scandir(path) if e.is_file()]
+    for p in paths:
+        st = os.stat(p)
+        total += st.st_size
+        newest = max(newest, st.st_mtime_ns)
+        n += 1
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"{base}_{n}_{total}_{newest}"
 
 
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]
@@ -2211,15 +2232,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boilerplate (textclean rework), minhash_lsh (signature kernel),
     # text_quality/lang_id (textstats rework), density_wkt
     # (density_geometries vectorization), convert_avro (avro_ingest).
-    # Slots 41-50: three late-round-5 additions with no prior row anywhere
-    # (substr_dedup, bloom_seen, hll_domains - "never had a driver row"
-    # outranks a belt-and-braces re-check under this policy), then
-    # r3-green queries whose own functions are unchanged but which share
-    # a file with round-4/5 churn (ann.py, dedup.py, aggregations.py,
-    # textstats.py) - re-checked belt-and-braces. The three displaced
-    # re-checks keep coverage: map_agg_json/unique_hist via slot 39's
-    # density_wkt plus temporal_density/surface here; ann_lsh via
-    # ann_cosine + embed_dedup (same ann.py paths).
+    # Slots 41-50: four late-round-5 additions with no prior row anywhere
+    # (substr_dedup, bloom_seen, hll_domains, sitemaps - "never had a
+    # driver row" outranks a belt-and-braces re-check under this policy),
+    # then r3-green queries whose own functions are unchanged but which
+    # share a file with round-4/5 churn (ann.py, dedup.py,
+    # aggregations.py, textstats.py) - re-checked belt-and-braces. The
+    # four displaced re-checks keep coverage: map_agg_json/unique_hist/
+    # surface via slot 39's density_wkt plus temporal_density here;
+    # ann_lsh via ann_cosine + embed_dedup (same ann.py paths).
     # Slots 51+: every entry has a green row in CORRECTNESS_r03/r04 and
     # its entry callable, oracle SQL, and reachable engine functions are
     # byte-identical (AST-verified) since that row was recorded; the

@@ -467,7 +467,7 @@ def _time_queries(spark) -> dict[str, float]:
     entrymod._layout_events(spark, SF_DIR)
     for warm in ("bbox_geoms", "minhash_lsh", "simhash", "ann_lsh", "ann_ivf",
                  "embed_dedup", "convert_avro", "incr_dedup", "semdedup",
-                 "ann_pq"):
+                 "ann_pq", "crawl_frontier"):
         _noop(qs[warm](spark, SF_DIR))
     out = {}
     for name in names:

@@ -168,8 +168,11 @@ def bloom_new_keys(
     ).localCheckpoint(eager=False)
     certain_new = keyed.filter(~F.col("__maybe")).drop("__maybe")
     candidates = keyed.filter(F.col("__maybe")).drop("__maybe")
+    # no distinct() on the build side: anti-join semantics are unaffected
+    # by duplicate corpus keys, and a dedup pass over 10^12 corpus rows
+    # would cost a corpus-wide aggregate for zero semantic effect
     verified_new = candidates.join(
-        corpus_keys.select(key_col).distinct(), on=key_col, how="left_anti"
+        corpus_keys.select(key_col), on=key_col, how="left_anti"
     )
     # unionByName tolerates the anti-join's column reorder (join key first)
     return certain_new.unionByName(verified_new)

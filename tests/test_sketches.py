@@ -86,3 +86,24 @@ def test_dense_regime_accuracy(spark):
 def test_merge_requires_tables():
     with pytest.raises(ValueError):
         merge_sketch_tables()
+
+
+def test_hll_domains_sparse_exact_per_sf(spark, sf_dir):
+    # the pin the driver oracle leans on: at fixture scales every host's
+    # canonical-page cardinality sits in the HLL sparse coupon regime,
+    # so the merged-sketch estimate equals the exact COUNT(DISTINCT)
+    # domain_stats computes over the same crawl-url fixture
+    import __spark_entry__ as entry
+
+    est = {
+        r.host: r.n_canonical
+        for r in entry._q_hll_domains(spark, sf_dir).collect()
+    }
+    p = entry._url_pages(entry._utc(spark), sf_dir)
+    from geomesa_spark.functions.urls import domain_stats
+
+    exact = {
+        r.host: r.n_canonical
+        for r in domain_stats(p, url_col="url").collect()
+    }
+    assert est == exact
