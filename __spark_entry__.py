@@ -1883,6 +1883,36 @@ def _q_extract_outlinks(spark, sf_dir):
     return extract_outlinks(pages)
 
 
+def _q_redirects(spark, sf_dir):
+    """Redirect-chain resolution (webgraph.resolve_redirects, pointer
+    doubling, max_chain=64): planted functional graph keyed by
+    pos=doc_id%16 — pos 0..6 chain into the pos-7 terminal (hops 7-pos),
+    pos 8/9/10 form a 3-cycle, pos 11 self-loops (both unresolved with
+    NULL final/hops), pos 12..15 are not sources. The oracle walks the
+    same edges sequentially with a hop-capped recursive CTE — algorithm
+    parity between log-round doubling and the linear walk, plus verdict
+    parity on the unresolved flag."""
+    from geomesa_spark.operators.webgraph import resolve_redirects
+
+    docs = _utc(spark).read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    pos = did % 16
+
+    def url(c):
+        return F.format_string("https://r%d.example/%d", c % 239, c)
+
+    target = (
+        F.when(pos <= 6, url(did + 1))
+        .when((pos >= 8) & (pos <= 9), url(did + 1))
+        .when(pos == 10, url(did - 2))
+        .when(pos == 11, url(did))
+    )
+    edges = docs.select(url(did).alias("url"), target.alias("target")).filter(
+        F.col("target").isNotNull()
+    )
+    return resolve_redirects(edges)
+
+
 def _q_sitemaps(spark, sf_dir):
     """Sitemap / sitemap-index parsing (webpages.parse_sitemaps) over
     arithmetically-planted XML: hosts h=doc_id%389; doc_id%7==0 plants a
@@ -2294,13 +2324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": _q_bloom_seen,
         "hll_domains": _q_hll_domains,
         "sitemaps": _q_sitemaps,
+        "redirects": _q_redirects,
         "embed_dedup": _q_embed_dedup,
         "ann_cosine": _q_ann_cosine,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
-        "temporal_density": _q_temporal_density,
         "extract_text": _q_extract_text,
         # -- slots 51+: green in r03/r04, AST-verified unchanged since ------
+        "temporal_density": _q_temporal_density,
         "surface": _q_surface,
         "ann_lsh": _q_ann_lsh,
         "map_agg_json": _q_map_agg_json,
@@ -3820,6 +3851,46 @@ def oracle_sql() -> dict[str, str]:
         # twin of webpages.extract_outlinks: the html is rebuilt
         # arithmetically and DuckDB runs the SAME two RE2-subset regexes
         # (backref-free by design) — parity of the regex semantics
+        # twin of webgraph.resolve_redirects: the oracle walks the SAME
+        # planted edges sequentially (hop-capped recursive CTE) where the
+        # engine pointer-doubles in log rounds — algorithm parity on
+        # final url + exact hop count, verdict parity on the unresolved
+        # flag (loops and over-cap chains)
+        "redirects": """
+            WITH RECURSIVE e AS (
+                SELECT printf('https://r%d.example/%d', doc_id % 239, doc_id) AS url,
+                       CASE
+                         WHEN doc_id % 16 <= 6 OR doc_id % 16 IN (8, 9)
+                           THEN printf('https://r%d.example/%d',
+                                       (doc_id + 1) % 239, doc_id + 1)
+                         WHEN doc_id % 16 = 10
+                           THEN printf('https://r%d.example/%d',
+                                       (doc_id - 2) % 239, doc_id - 2)
+                         WHEN doc_id % 16 = 11
+                           THEN printf('https://r%d.example/%d',
+                                       doc_id % 239, doc_id)
+                       END AS target
+                FROM documents
+                WHERE doc_id % 16 <= 6 OR doc_id % 16 BETWEEN 8 AND 11
+            ),
+            walk(u, cur, hops) AS (
+                SELECT url, target, 1 FROM e
+                UNION ALL
+                SELECT w.u, e2.target, w.hops + 1
+                FROM walk w JOIN e e2 ON w.cur = e2.url
+                WHERE w.hops < 64
+            ),
+            last AS (
+                SELECT u, arg_max(cur, hops) AS cur, max(hops) AS h
+                FROM walk GROUP BY u
+            )
+            SELECT l.u AS url,
+                   CASE WHEN s.url IS NULL THEN l.cur END AS final_url,
+                   CASE WHEN s.url IS NULL THEN CAST(l.h AS BIGINT) END AS hops,
+                   (s.url IS NOT NULL) AS unresolved
+            FROM last l
+            LEFT JOIN (SELECT DISTINCT url FROM e) s ON l.cur = s.url
+        """,
         # twin of webpages.parse_sitemaps: rebuilds the byte-identical
         # planted XML with printf/||/chr(10) and runs the SAME (?s)
         # non-greedy RE2-subset block regexes plus the same per-block

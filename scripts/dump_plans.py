@@ -134,6 +134,7 @@ AUDIT = [
     ("bloom_seen", "probe runs once inside the checkpointed snapshot (ExistingRDD scans); LeftAnti fed by the maybe-seen slice only; definitely-new branch join-free union arm"),
     ("hll_domains", "per-delta map-side-combined sketch aggregates, union, ONE host-keyed hll_union merge; no join, no sort"),
     ("sitemaps", "pure codegen: two regexp_extract_all + ONE explode; ZERO exchanges, no Python"),
+    ("redirects", "pointer-doubling rounds: (u,ptr,hops) equi-joins on checkpointed triples; no cartesian, no window"),
     ("normalize_text", "ONE ArrowEvalPython (NFC) inside a codegen regex chain; ZERO shuffles"),
     ("badwords", "literal-array intersect in ONE WholeStageCodegen map; ZERO shuffles, no Python"),
     ("anchor_terms", "map-side-combined (host,term) agg then WindowGroupLimit partial top-k; ONE window"),

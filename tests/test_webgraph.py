@@ -343,3 +343,45 @@ def test_sitemap_blocks_without_loc_drop(spark):
 def test_sitemap_empty_and_garbage_inputs(spark):
     assert _sm(spark, "") == []
     assert _sm(spark, "not xml at all <loc>orphan</loc>") == []
+
+
+# --- redirect-chain resolution (webgraph.resolve_redirects) ----------------
+
+
+def _redir(spark, pairs, **kw):
+    from geomesa_spark.operators.webgraph import resolve_redirects
+
+    df = spark.createDataFrame(pairs, "url string, target string")
+    return {r.url: (r.final_url, r.hops, r.unresolved)
+            for r in resolve_redirects(df, **kw).collect()}
+
+
+def test_redirects_chain_exact_hops(spark):
+    got = _redir(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    assert got == {
+        "a": ("e", 4, False), "b": ("e", 3, False),
+        "c": ("e", 2, False), "d": ("e", 1, False),
+    }
+
+
+def test_redirects_cycle_and_rho_tail_unresolved(spark):
+    # x -> c1 -> c2 -> c3 -> c1: the pure cycle AND the tail leading
+    # into it are both unresolved (no terminal is ever reached)
+    got = _redir(spark, [("x", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c1")])
+    assert all(v == (None, None, True) for v in got.values())
+    assert set(got) == {"x", "c1", "c2", "c3"}
+
+
+def test_redirects_self_loop(spark):
+    got = _redir(spark, [("s", "s"), ("a", "b")])
+    assert got["s"] == (None, None, True)
+    assert got["a"] == ("b", 1, False)
+
+
+def test_redirects_over_cap_chain_flagged(spark):
+    # 9-hop chain with max_chain=8: resolvable by the doubling rounds
+    # but past the contract cap -> unresolved, like a capped walker
+    pairs = [(f"u{i}", f"u{i+1}") for i in range(9)]
+    got = _redir(spark, pairs, max_chain=8)
+    assert got["u0"] == (None, None, True)       # 9 hops > 8
+    assert got["u1"] == ("u9", 8, False)          # exactly at cap
