@@ -115,6 +115,29 @@ def bloom_build(
     return acc.tobytes()
 
 
+def bloom_merge(*bitsets: bytes) -> bytes:
+    """OR-merge Bloom bitsets built with the SAME (log2_m, k, seed).
+
+    This is the per-ingest maintenance step the stored-artifact design
+    relies on: ``merge(build(delta1), build(delta2)) == build(delta1 ∪
+    delta2)`` bit-for-bit (set-bit union is commutative/associative and
+    probe positions depend only on the key), so a standing seen-set is
+    refreshed by building a bitset over the new delta's keys alone and
+    OR-ing it in — never re-scanning the corpus. Mixed sizes raise:
+    positions are modulo m, so same-key bits land differently in
+    different-m filters and a silent merge would corrupt the artifact.
+    """
+    if not bitsets:
+        raise ValueError("at least one bitset required")
+    sizes = {len(b) for b in bitsets}
+    if len(sizes) != 1:
+        raise ValueError(f"mixed bitset sizes {sorted(sizes)}: incompatible log2_m")
+    acc = np.frombuffer(bitsets[0], dtype=np.uint64).copy()
+    for b in bitsets[1:]:
+        acc |= np.frombuffer(b, dtype=np.uint64)
+    return acc.tobytes()
+
+
 def bloom_probe_udf(bitset_bc, log2_m: int, k: int = 5, seed: int = 42):
     """Vectorized maybe-seen probe over an ``xxhash64`` key column.
 

@@ -106,3 +106,50 @@ def test_probe_vectorization_matches_reference(spark):
 def test_log2m_bounds():
     with pytest.raises(ValueError):
         bloom_build(None, "u", log2_m=8)
+
+
+def test_bloom_merge_delta_equals_full_build(spark):
+    from geomesa_spark.operators.bloom import bloom_merge
+
+    a = spark.range(0, 150, 1, 4).select(F.format_string("k%d", "id").alias("u"))
+    b = spark.range(150, 400, 1, 4).select(F.format_string("k%d", "id").alias("u"))
+    merged = bloom_merge(
+        bloom_build(a, "u", log2_m=13, k=4), bloom_build(b, "u", log2_m=13, k=4)
+    )
+    assert merged == bloom_build(a.unionByName(b), "u", log2_m=13, k=4)
+
+
+def test_bloom_merge_rejects_mixed_sizes(spark):
+    from geomesa_spark.operators.bloom import bloom_merge
+
+    a = spark.range(0, 10).select(F.format_string("k%d", "id").alias("u"))
+    with pytest.raises(ValueError):
+        bloom_merge(bloom_build(a, "u", log2_m=12), bloom_build(a, "u", log2_m=13))
+    with pytest.raises(ValueError):
+        bloom_merge()
+
+
+def test_source_fingerprint_tracks_data_changes(tmp_path):
+    # the cache key for input-derived cached tables must change when the
+    # source parquet does (file count, size, or mtime)
+    import os
+    import __spark_entry__ as entry
+
+    d = tmp_path / "sfX"
+    (d / "documents.parquet").mkdir(parents=True)
+    f = d / "documents.parquet" / "part-0.parquet"
+    f.write_bytes(b"x" * 100)
+    fp1 = entry._source_fingerprint(str(d), "documents")
+    assert fp1.startswith("sfX_1_100_")
+    f.write_bytes(b"x" * 120)  # size change
+    fp2 = entry._source_fingerprint(str(d), "documents")
+    assert fp1 != fp2
+    f2 = d / "documents.parquet" / "part-1.parquet"
+    f2.write_bytes(b"y")  # new file
+    assert entry._source_fingerprint(str(d), "documents") != fp2
+    # mtime-only change, same sizes (pin BOTH files so the max moves)
+    os.utime(f, ns=(1, 1))
+    os.utime(f2, ns=(1, 1))
+    fp3 = entry._source_fingerprint(str(d), "documents")
+    os.utime(f2, ns=(2, 2))
+    assert entry._source_fingerprint(str(d), "documents") != fp3
