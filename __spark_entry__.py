@@ -234,11 +234,24 @@ _LAYOUT_CACHE = "/tmp/geomesa_layout"
 def _source_fingerprint(sf_dir: str, table: str) -> str:
     """Cache key component from the source parquet's size+mtime: if the
     driver regenerates the testdata between rounds, stale layouts must not
-    answer for it."""
+    answer for it. Single-file tables keep the original ``size_mtime``
+    format (existing cache keys stay valid); a DIRECTORY table (partitioned
+    write) is walked recursively — file count + total bytes + newest
+    mtime_ns — because the directory's own stat misses in-place rewrites
+    of nested part files."""
     import os
 
     p = f"{sf_dir}/{table}.parquet"
     try:
+        if os.path.isdir(p):
+            total, newest, n = 0, 0, 0
+            for root, _dirs, files in os.walk(p):
+                for fname in files:
+                    st = os.stat(os.path.join(root, fname))
+                    total += st.st_size
+                    newest = max(newest, st.st_mtime_ns)
+                    n += 1
+            return f"{n}_{total}_{newest}"
         st = os.stat(p)
         return f"{st.st_size}_{int(st.st_mtime)}"
     except OSError:
@@ -2003,35 +2016,35 @@ def _q_crawl_frontier(spark, sf_dir):
     from geomesa_spark.operators.delta import crawl_frontier
 
     delta = _q_crawl_delta(spark, sf_dir)
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
     ranks = _cached_table(
         _utc(spark),
-        f"host_ranks_i4_d85_{_source_fingerprint(sf_dir, 'documents')}",
+        f"host_ranks_i4_d85_{base}_{_source_fingerprint(sf_dir, 'documents')}"
+        f"_{_rank_code_token()}",
         lambda s: _q_pagerank(s, sf_dir),
     )
     return crawl_frontier(delta, ranks, n_per_host=3)
 
 
-def _source_fingerprint(sf_dir: str, table: str) -> str:
-    """Cache-key component for cached tables DERIVED FROM INPUT DATA (the
-    pure-generator caches key on their constants instead): basename plus
-    a filesystem fingerprint (file count, total bytes, newest mtime) of
-    the source parquet, so a regenerated fixture or two dirs sharing a
-    basename can never serve stale derived rows. Driver-side scandir —
-    no Spark job, so constructing a cached query stays plan-only."""
-    import os
+def _rank_code_token() -> str:
+    """Code-identity component of the cached rank surface's key: a crc of
+    the source of every function the cached build runs through. The
+    generator caches embed their constants in the key for the same
+    reason — editing pagerank/host_graph/_host_links must rotate the
+    key, or the cache would keep answering with ranks computed by the
+    old code until someone remembers to clear /tmp/geomesa_layout."""
+    import inspect
+    import zlib
 
-    total, newest, n = 0, 0, 0
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    paths = [path]
-    if os.path.isdir(path):
-        paths = [e.path for e in os.scandir(path) if e.is_file()]
-    for p in paths:
-        st = os.stat(p)
-        total += st.st_size
-        newest = max(newest, st.st_mtime_ns)
-        n += 1
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return f"{base}_{n}_{total}_{newest}"
+    from geomesa_spark.operators import webgraph
+
+    src = "".join(
+        inspect.getsource(f)
+        for f in (webgraph.pagerank, webgraph.host_graph, _host_links, _q_pagerank)
+    )
+    return f"{zlib.crc32(src.encode()):08x}"
 
 
 _BLOCKED_DOMAINS = ["site13.example", "site250.example", "site777.example"]

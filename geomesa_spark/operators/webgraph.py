@@ -270,6 +270,7 @@ def resolve_redirects(
     src_col: str = "url",
     dst_col: str = "target",
     max_chain: int = 64,
+    on_duplicate: str = "error",
 ) -> DataFrame:
     """Resolve redirect chains to their final landing url — the WAT
     post-processing step that canonicalizes a crawl's 3xx records
@@ -278,47 +279,78 @@ def resolve_redirects(
 
     ``edges`` is one row per redirecting url: ``(src_col, dst_col)`` —
     a FUNCTIONAL graph (at most one target per source; crawlers record
-    one Location per fetch). Returns one row per SOURCE url:
-    ``(url, final_url, hops, unresolved)`` where resolved rows carry
-    the terminal landing url and exact hop count, and ``unresolved``
-    marks chains longer than ``max_chain`` and redirect loops —
-    surfaced, never silently dropped, because a production pipeline
-    quarantines them (browsers and crawlers cap chains the same way;
-    RFC 2068 suggested 5, browsers allow ~20).
+    one Location per fetch). ``on_duplicate`` makes that precondition
+    enforceable rather than silently corrupting (a duplicated source
+    would fan the self-join out quadratically): ``"error"`` (default)
+    raises on the first duplicate source; ``"min"`` deterministically
+    keeps the smallest target per source. Returns one row per SOURCE
+    url: ``(url, final_url, hops, unresolved)`` where resolved rows
+    carry the terminal landing url and exact hop count, and
+    ``unresolved`` marks chains longer than ``max_chain`` and redirect
+    loops — surfaced, never silently dropped, because a production
+    pipeline quarantines them (browsers and crawlers cap chains the
+    same way; RFC 2068 suggested 5, browsers allow ~20).
 
-    Algorithm: pointer doubling. Each round joins the pointer table to
-    itself — ``u -> p`` and ``p -> q`` become ``u -> q`` with summed
-    hop counts — so an L-hop chain resolves in ceil(log2 L) rounds,
-    not L: the distributed shape that makes 10^8-long pathological
-    chains irrelevant and typical crawl chains (2-5 hops) a 3-round
-    job. Rows whose pointer lands on a terminal (no outgoing edge)
-    stop participating; the loop exits early when nothing moved, and
-    otherwise runs ceil(log2(max_chain)) + 1 rounds so every chain
-    within contract is resolved before the over-cap flag applies.
+    Algorithm: pointer doubling with a shrinking frontier. Each round
+    the ACTIVE rows join the full pointer lookup — ``u -> p`` and
+    ``p -> q`` become ``u -> q`` with summed hop counts — so an L-hop
+    chain resolves in ceil(log2 L) rounds, not L: the distributed
+    shape that makes 10^8-long pathological chains irrelevant and
+    typical crawl chains (2-5 hops) a 3-round job. Rows whose pointer
+    lands on a terminal (no outgoing edge) settle OUT of the join's
+    probe side — only the still-moving frontier is joined, shuffled,
+    and checkpointed each round (settled rows remain in the lookup
+    side, where later-resolving chains jump through them); the loop
+    exits early once the frontier is empty, and otherwise runs
+    ceil(log2(max_chain)) + 1 rounds so every chain within contract
+    is resolved before the over-cap flag applies.
 
     Scale shape (10^9 redirect records): per-round state is one
-    (u, p, hops) row per source — the join shuffles pointer triples
-    only, never page data; ``localCheckpoint`` every round keeps plan
-    depth O(1) (the pagerank discipline; a production run checkpoints
-    to the lineage table for mid-run resume). Driver scalars are the
-    per-round moved-count only.
+    (u, p, hops) row per STILL-ACTIVE source — with typical 2-5 hop
+    chains the frontier collapses after round 3 and the tail rounds
+    are near-free; the join shuffles pointer triples only, never page
+    data. Each round's stepped frontier is ``localCheckpoint``ed
+    (settled slices were checkpointed the round they settled, so plan
+    depth stays bounded by the fixed round budget — the pagerank
+    discipline; a production run checkpoints to the lineage table for
+    mid-run resume). Driver scalars are the per-round frontier
+    emptiness probe only.
     """
     import math
 
-    ptr = edges.select(
-        F.col(src_col).alias("u"),
-        F.col(dst_col).alias("p"),
-        F.lit(1).cast("long").alias("hops"),
-        F.lit(True).alias("moved"),
+    if on_duplicate == "min":
+        edges = edges.groupBy(F.col(src_col).alias("u")).agg(
+            F.min(F.col(dst_col)).alias("p")
+        )
+    else:
+        if on_duplicate != "error":
+            raise ValueError(f"on_duplicate must be 'error' or 'min': {on_duplicate}")
+        dup = (
+            edges.groupBy(src_col).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate {src_col} rows: redirect input must be functional "
+                "(one target per source); pass on_duplicate='min' to keep the "
+                "smallest target deterministically"
+            )
+        edges = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("p"))
+
+    active = edges.select(
+        "u", "p", F.lit(1).cast("long").alias("hops"), F.lit(True).alias("moved")
     ).localCheckpoint()
+    settled = []  # checkpointed slices, one per round that settled rows
 
     rounds = max(1, int(math.ceil(math.log2(max(2, max_chain)))) + 1)
     for _ in range(rounds):
-        hop = ptr.select(
+        lookup = active
+        for s in settled:
+            lookup = lookup.unionByName(s)
+        hop = lookup.select(
             F.col("u").alias("p2"), F.col("p").alias("q"), F.col("hops").alias("g")
         )
-        ptr = (
-            ptr.drop("moved")
+        stepped = (
+            active.drop("moved")
             .join(hop, F.col("p") == F.col("p2"), "left")
             .select(
                 "u",
@@ -330,15 +362,20 @@ def resolve_redirects(
             )
             .localCheckpoint()
         )
-        if ptr.filter("moved").limit(1).count() == 0:
+        settled.append(stepped.filter(~F.col("moved")))
+        active = stepped.filter(F.col("moved"))
+        if active.limit(1).count() == 0:
             break
 
+    out = active
+    for s in settled:
+        out = out.unionByName(s)
     # unresolved = still walking after the round budget (loop, or chain
     # past the resolvable horizon) OR resolved past the contract cap —
     # the same verdict a hop-capped sequential walk (the oracle's
     # recursive CTE) reaches
     bad = F.col("moved") | (F.col("hops") > max_chain)
-    return ptr.select(
+    return out.select(
         F.col("u").alias("url"),
         F.when(~bad, F.col("p")).alias("final_url"),
         F.when(~bad, F.col("hops")).alias("hops"),

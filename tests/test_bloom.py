@@ -140,7 +140,7 @@ def test_source_fingerprint_tracks_data_changes(tmp_path):
     f = d / "documents.parquet" / "part-0.parquet"
     f.write_bytes(b"x" * 100)
     fp1 = entry._source_fingerprint(str(d), "documents")
-    assert fp1.startswith("sfX_1_100_")
+    assert fp1.startswith("1_100_")
     f.write_bytes(b"x" * 120)  # size change
     fp2 = entry._source_fingerprint(str(d), "documents")
     assert fp1 != fp2
@@ -153,3 +153,4 @@ def test_source_fingerprint_tracks_data_changes(tmp_path):
     fp3 = entry._source_fingerprint(str(d), "documents")
     os.utime(f2, ns=(2, 2))
     assert entry._source_fingerprint(str(d), "documents") != fp3
+    assert entry._source_fingerprint(str(d), "missing") == "nosrc"

@@ -385,3 +385,17 @@ def test_redirects_over_cap_chain_flagged(spark):
     got = _redir(spark, pairs, max_chain=8)
     assert got["u0"] == (None, None, True)       # 9 hops > 8
     assert got["u1"] == ("u9", 8, False)          # exactly at cap
+
+
+def test_redirects_duplicate_source_guard(spark):
+    from geomesa_spark.operators.webgraph import resolve_redirects
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d")], "url string, target string"
+    )
+    with pytest.raises(Exception, match="functional"):
+        resolve_redirects(df).collect()
+    got = {r.url: (r.final_url, r.hops, r.unresolved)
+           for r in resolve_redirects(df, on_duplicate="min").collect()}
+    # min target for a is b; b -> d terminal
+    assert got == {"a": ("d", 2, False), "b": ("d", 1, False)}
