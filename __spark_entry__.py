@@ -1896,6 +1896,30 @@ def _q_extract_outlinks(spark, sf_dir):
     return extract_outlinks(pages)
 
 
+def _q_hex_density(spark, sf_dir):
+    """Hexagonal density surface (cells/hexgrid.py, res=3): the F1
+    geoparse points binned into H3-style axial hexagons — one pure
+    codegen map (axial transform + floor-based cube round, no Python)
+    and ONE (q, r)-keyed hash aggregate; the hex complement of the
+    rectangular `density` grid (every hex neighbor is edge-adjacent at
+    equal center distance, so the surface has no diagonal anisotropy).
+    The oracle replicates the arithmetic operation-for-operation with
+    the same 17-digit double literals and the same floor(x+0.5)
+    rounding — each engine's native round() differs on ties, floor
+    doesn't — so cell assignment is bit-identical."""
+    from geomesa_spark.cells.hexgrid import hex_qr
+    from geomesa_spark.sources.webpages import geoparse
+
+    ev = _utc(spark).read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    pts = geoparse(ev, "event_id")
+    q, r = hex_qr(F.col("lon"), F.col("lat"), res=3)
+    return (
+        pts.select(q.alias("hex_q"), r.alias("hex_r"))
+        .groupBy("hex_q", "hex_r")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_redirects(spark, sf_dir):
     """Redirect-chain resolution (webgraph.resolve_redirects, pointer
     doubling, max_chain=64): planted functional graph keyed by
@@ -2338,12 +2362,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_domains": _q_hll_domains,
         "sitemaps": _q_sitemaps,
         "redirects": _q_redirects,
+        "hex_density": _q_hex_density,
         "embed_dedup": _q_embed_dedup,
         "ann_cosine": _q_ann_cosine,
-        "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "extract_text": _q_extract_text,
         # -- slots 51+: green in r03/r04, AST-verified unchanged since ------
+        "simhash": _q_simhash,
         "temporal_density": _q_temporal_density,
         "surface": _q_surface,
         "ann_lsh": _q_ann_lsh,
@@ -3864,6 +3889,43 @@ def oracle_sql() -> dict[str, str]:
         # twin of webpages.extract_outlinks: the html is rebuilt
         # arithmetically and DuckDB runs the SAME two RE2-subset regexes
         # (backref-free by design) — parity of the regex semantics
+        # twin of cells/hexgrid.hex_qr at res=3: identical 17-digit double
+        # literals, identical operation order, floor(x+0.5) rounding on
+        # both sides (native round() differs on ties between engines) —
+        # cell assignment is bit-identical, so the aggregate hash-matches
+        "hex_density": """
+            WITH pts AS (
+                SELECT -180.0 + (event_id * 7919 % 36000) / 100.0 AS lon,
+                       -90.0 + (event_id * 104729 % 18000) / 100.0 AS lat
+                FROM events
+            ),
+            ax AS (
+                SELECT (0.5773502691896257 * lon - 0.3333333333333333 * lat)
+                           / 0.5399492471560388 AS fx,
+                       (0.6666666666666666 * lat) / 0.5399492471560388 AS fz
+                FROM pts
+            ),
+            rr AS (
+                SELECT fx, fz, -fx - fz AS fy,
+                       CAST(floor(fx + 0.5) AS DOUBLE) AS rx,
+                       CAST(floor(-fx - fz + 0.5) AS DOUBLE) AS ry,
+                       CAST(floor(fz + 0.5) AS DOUBLE) AS rz
+                FROM ax
+            ),
+            cells AS (
+                SELECT CASE WHEN abs(rx - fx) > abs(ry - fy)
+                                 AND abs(rx - fx) > abs(rz - fz)
+                            THEN -ry - rz ELSE rx END AS q,
+                       CASE WHEN NOT (abs(rx - fx) > abs(ry - fy)
+                                      AND abs(rx - fx) > abs(rz - fz))
+                                 AND NOT (abs(ry - fy) > abs(rz - fz))
+                            THEN -rx - ry ELSE rz END AS r
+                FROM rr
+            )
+            SELECT CAST(q AS BIGINT) AS hex_q, CAST(r AS BIGINT) AS hex_r,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM cells GROUP BY 1, 2
+        """,
         # twin of webgraph.resolve_redirects: the oracle walks the SAME
         # planted edges sequentially (hop-capped recursive CTE) where the
         # engine pointer-doubles in log rounds — algorithm parity on

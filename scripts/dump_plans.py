@@ -135,6 +135,7 @@ AUDIT = [
     ("hll_domains", "per-delta map-side-combined sketch aggregates, union, ONE host-keyed hll_union merge; no join, no sort"),
     ("sitemaps", "pure codegen: two regexp_extract_all + ONE explode; ZERO exchanges, no Python"),
     ("redirects", "pointer-doubling rounds: (u,ptr,hops) equi-joins on checkpointed triples; no cartesian, no window"),
+    ("hex_density", "ONE codegen map (axial transform + cube round) + ONE (q,r)-keyed hash aggregate; no Python, no join"),
     ("normalize_text", "ONE ArrowEvalPython (NFC) inside a codegen regex chain; ZERO shuffles"),
     ("badwords", "literal-array intersect in ONE WholeStageCodegen map; ZERO shuffles, no Python"),
     ("anchor_terms", "map-side-combined (host,term) agg then WindowGroupLimit partial top-k; ONE window"),

@@ -1,0 +1,106 @@
+"""H3-style hex grid (cells/hexgrid.py).
+
+Pins the grid algebra the oracle row cannot see: center round-trips,
+ring/disk combinatorics, the cube metric, packing uniqueness, and
+row-wise parity between the codegen cube-round and a python reference.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.cells.hexgrid import (
+    ONE_THIRD,
+    SQRT3_OVER_3,
+    TWO_THIRDS,
+    cell_center,
+    disk,
+    edge_deg,
+    hex_cell,
+    hex_distance,
+    hex_qr,
+    neighbors,
+    ring,
+)
+
+
+def _py_qr(lon, lat, res):
+    # reference cube round, plain python floats
+    s = edge_deg(res)
+    fx = (SQRT3_OVER_3 * lon - ONE_THIRD * lat) / s
+    fz = (TWO_THIRDS * lat) / s
+    fy = -fx - fz
+    rx, ry, rz = (math.floor(v + 0.5) for v in (fx, fy, fz))
+    dx, dy, dz = abs(rx - fx), abs(ry - fy), abs(rz - fz)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        ry = -rx - rz
+    else:
+        rz = -rx - ry
+    return int(rx), int(rz)
+
+
+def test_center_round_trips(spark):
+    cases = [(q, r, res) for res in (0, 2, 4) for q in (-40, 0, 7) for r in (-3, 0, 11)]
+    for q, r, res in cases:
+        lon, lat = cell_center(q, r, res)
+        if not (-180 <= lon <= 180 and -90 <= lat <= 90):
+            continue
+        assert _py_qr(lon, lat, res) == (q, r)
+
+
+def test_ring_disk_combinatorics():
+    for k in range(4):
+        rg = ring(2, -1, k)
+        assert len(rg) == (1 if k == 0 else 6 * k)
+        assert all(hex_distance(2, -1, q, r) == k for q, r in rg)
+    d = disk(2, -1, 3)
+    assert len(d) == 1 + 3 * 3 * 4  # 1 + 3k(k+1)
+    assert len(set(d)) == len(d)
+    assert set(neighbors(2, -1)) == set(ring(2, -1, 1))
+
+
+def test_cell_packing_unique_and_monotone():
+    ids = {}
+    for q in range(-5, 6):
+        for r in range(-5, 6):
+            for res in (0, 3):
+                lon, lat = cell_center(q, r, res)
+                if not (-180 <= lon <= 180 and -90 <= lat <= 90):
+                    continue
+                ids[(res, q, r)] = (q, r, res)
+    # distinct (res,q,r) -> distinct packed id, and q-order preserved per res
+    import itertools
+
+    packed = {}
+    for (res, q, r) in ids:
+        packed[(res, q, r)] = (res << 56) | ((q + (1 << 27)) << 28) | (r + (1 << 27))
+    assert len(set(packed.values())) == len(packed)
+    for (res, q, r), (res2, q2, r2) in itertools.combinations(packed, 2):
+        if res == res2 and (q, r) < (q2, r2):
+            assert packed[(res, q, r)] < packed[(res2, q2, r2)]
+
+
+def test_spark_qr_matches_python_reference(spark):
+    pts = spark.range(0, 500).select(
+        (F.lit(-180.0) + (F.col("id") * 7919 % 36000) / 100.0).alias("lon"),
+        (F.lit(-90.0) + (F.col("id") * 104729 % 18000) / 100.0).alias("lat"),
+    )
+    q, r = hex_qr(F.col("lon"), F.col("lat"), res=3)
+    rows = pts.select("lon", "lat", q.alias("q"), r.alias("r")).collect()
+    for row in rows:
+        assert (row.q, row.r) == _py_qr(row.lon, row.lat, 3)
+
+
+def test_hex_cell_expression_packs_qr(spark):
+    pts = spark.range(0, 50).select(
+        (F.col("id") * 3.7 - 90.0).alias("lon"), (F.col("id") * 1.1 - 27.0).alias("lat")
+    )
+    q, r = hex_qr(F.col("lon"), F.col("lat"), 2)
+    got = pts.select(
+        hex_cell(F.col("lon"), F.col("lat"), 2).alias("c"), q.alias("q"), r.alias("r")
+    ).collect()
+    for row in got:
+        assert row.c == (2 << 56) | ((row.q + (1 << 27)) << 28) | (row.r + (1 << 27))
