@@ -431,6 +431,21 @@ def _q_knn(spark, sf_dir):
     return knn_join(t, _KNN_QUERIES, k=10).select("query_id", "event_id")
 
 
+def _q_knn_hex(spark, sf_dir):
+    """kNN via ring expansion over hex neighborhoods (knn.knn_hex_ring,
+    res=2, k=10) — the north-star's "kNN via ring-expansion over H3
+    neighborhoods" literally: candidates from disk(r) of each query's
+    home hex cell, radius doubling, finalized under the PROVABLE
+    euclid-degree bound g(r) = 1.5*s*(r+1) - 2s (no unseen point can
+    beat the held top-k). The oracle is index-free exact top-10 by the
+    same euclidean-degree metric — candidate generation must not change
+    the answer, only the work."""
+    from geomesa_spark.operators.knn import knn_hex_ring
+
+    t = _events_pts(_utc(spark), sf_dir)
+    return knn_hex_ring(t, _KNN_QUERIES, k=10, res=2).select("query_id", "event_id")
+
+
 def _q_proximity(spark, sf_dir):
     t = _events_pts(_utc(spark), sf_dir)
     return proximity_join(t, _SITES, _PROX_M).select("site_id", "event_id")
@@ -2363,11 +2378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemaps": _q_sitemaps,
         "redirects": _q_redirects,
         "hex_density": _q_hex_density,
+        "knn_hex": _q_knn_hex,
         "embed_dedup": _q_embed_dedup,
-        "ann_cosine": _q_ann_cosine,
         "ngram_jaccard": _q_ngram_jaccard,
         "extract_text": _q_extract_text,
         # -- slots 51+: green in r03/r04, AST-verified unchanged since ------
+        "ann_cosine": _q_ann_cosine,
         "simhash": _q_simhash,
         "temporal_density": _q_temporal_density,
         "surface": _q_surface,
@@ -3251,6 +3267,26 @@ def oracle_sql() -> dict[str, str]:
             r AS (
               SELECT query_id, event_id,
                      row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, event_id ASC) AS rn
+              FROM d
+            )
+            SELECT query_id, event_id FROM r WHERE rn <= 10
+        """,
+        # twin of knn.knn_hex_ring: exact euclid-degree top-10, index-free
+        # — hex-disk candidate generation may only change the work, never
+        # the answer (same operand order in the distance, same tie-break)
+        "knn_hex": f"""
+            WITH {_PTS_CTE},
+            q(query_id, q_lon, q_lat) AS (VALUES {", ".join(f"('{qid}', {x!r}, {y!r})" for qid, x, y in _KNN_QUERIES)}),
+            d AS (
+              SELECT q.query_id, pts.event_id,
+                     sqrt(pow(pts.lon - q.q_lon, 2)
+                          + pow(pts.lat - q.q_lat, 2)) AS dist
+              FROM pts CROSS JOIN q
+            ),
+            r AS (
+              SELECT query_id, event_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist ASC, event_id ASC) AS rn
               FROM d
             )
             SELECT query_id, event_id FROM r WHERE rn <= 10

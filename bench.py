@@ -456,7 +456,7 @@ def _time_queries(spark) -> dict[str, float]:
         # appended final-r5 batch (S2 cell scan, ExactSubstr self-dedup,
         # Bloom seen-set prefilter, mergeable HLL domain panel)
         "bbox_s2", "substr_dedup", "bloom_seen", "hll_domains", "sitemaps",
-        "redirects", "hex_density",
+        "redirects", "hex_density", "knn_hex",
     ]
     qs = entrymod.queries()
     _noop(qs[names[0]](spark, SF_DIR))  # absorb session/python-worker startup

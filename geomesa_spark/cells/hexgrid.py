@@ -90,6 +90,27 @@ def hex_cell(lon: Column, lat: Column, res: int) -> Column:
     )
 
 
+def point_qr(lon: float, lat: float, res: int) -> tuple[int, int]:
+    """Driver-side twin of :func:`hex_qr` (python floats, same floor-based
+    cube round, IEEE-identical to the codegen path) — used to place query
+    points for ring expansion and by tests as the row-wise reference."""
+    import math
+
+    s = edge_deg(res)
+    fx = (SQRT3_OVER_3 * lon - ONE_THIRD * lat) / s
+    fz = (TWO_THIRDS * lat) / s
+    fy = -fx - fz
+    rx, ry, rz = (math.floor(v + 0.5) for v in (fx, fy, fz))
+    dx, dy, dz = abs(rx - fx), abs(ry - fy), abs(rz - fz)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        ry = -rx - rz
+    else:
+        rz = -rx - ry
+    return int(rx), int(rz)
+
+
 def cell_center(q: int, r: int, res: int) -> tuple[float, float]:
     """(lon, lat) center of an axial cell — driver-side inverse, used by
     covers and tests (python floats, same formulas inverted)."""

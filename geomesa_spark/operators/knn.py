@@ -305,3 +305,101 @@ def knn_ring_expansion(
     if schema is None or not rows:
         return knn_join(points, [], k)
     return points.df.sparkSession.createDataFrame(rows, schema)
+
+
+def knn_hex_ring(
+    points: GeoTable,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    res: int = 2,
+) -> DataFrame:
+    """kNN via ring expansion over hexagonal cell neighborhoods — the
+    hex-grid twin of :func:`knn_ring_expansion` (which expands square
+    tile covers): candidates come from ``disk(r)`` of each query's home
+    hex cell, with the hex radius doubling per round.
+
+    The metric is euclidean DEGREES — the hex grid's own plane, which
+    is what makes the stopping rule exact rather than heuristic: the
+    minimum center displacement between cells at hex distance D is
+    ``1.5*s*D`` (minimize ``|dq*v1 + dr*v2|`` at fixed cube distance —
+    the minimum lands on the mixed axial direction, not the axes), and
+    any point lies within the circumradius ``s`` of its own center, so
+    every point OUTSIDE ``disk(r)`` is at least
+
+        g(r) = 1.5*s*(r+1) - 2*s
+
+    degrees from the query point. A query finalizes once it holds k
+    candidates and its k-th best distance is <= g(r): no unseen point
+    can beat the current top-k. (``test_hexgrid`` property-checks the
+    bound against brute force.)
+
+    Scale shape: the points table gets its (q, r) cell columns once
+    (pure codegen); each round is ONE broadcast equi-join of the
+    pending queries' disk cells against those columns plus a bounded
+    top-k window — the same per-round shape and driver discipline as
+    the tile-based expansion, with rows-per-round bounded by k x
+    pending queries at collection.
+    """
+    from geomesa_spark.cells.hexgrid import disk, edge_deg, hex_qr, point_qr
+
+    spark = points.df.sparkSession
+    if not queries:
+        return knn_join(points, [], k)
+
+    s = edge_deg(res)
+    qcol, rcol = hex_qr(F.col(points.lon), F.col(points.lat), res)
+    pts = points.df.withColumn("__hq", qcol).withColumn("__hr", rcol)
+    homes = {qid: point_qr(lon, lat, res) for qid, lon, lat in queries}
+    # radius at which disk(r) provably covers the whole lon/lat plane
+    r_world = int(math.ceil(540.0 / (1.5 * s))) + 2
+
+    pending = list(queries)
+    radius = 1
+    rows: list = []
+    schema = None
+    while pending:
+        cover = [
+            (qid, cq, cr, lon, lat)
+            for qid, lon, lat in pending
+            for cq, cr in disk(*homes[qid], min(radius, r_world))
+        ]
+        qdf = spark.createDataFrame(
+            cover, "query_id string, cq long, cr long, q_lon double, q_lat double"
+        )
+        cand = pts.join(
+            F.broadcast(qdf),
+            (pts["__hq"] == qdf["cq"]) & (pts["__hr"] == qdf["cr"]),
+            "inner",
+        ).withColumn(
+            "dist",
+            _euclid_deg_cols(
+                F.col(points.lon), F.col(points.lat), F.col("q_lon"), F.col("q_lat")
+            ),
+        )
+        topk = _topk(points, cand, k).drop("q_lon", "q_lat", "cq", "cr", "__hq", "__hr")
+        if schema is None:
+            schema = topk.drop("knn_rank").schema
+        collected = topk.collect()
+        per_q: dict[str, list] = {}
+        for row in collected:
+            per_q.setdefault(row["query_id"], []).append(row)
+        guarantee = max(0.0, 1.5 * s * (radius + 1) - 2.0 * s)
+        done = set()
+        for qid, _, _ in pending:
+            got = per_q.get(qid, [])
+            kth = max((row["dist"] for row in got), default=float("inf"))
+            if (len(got) >= k and kth <= guarantee) or radius >= r_world:
+                done.add(qid)
+        if done:
+            drop_idx = collected[0].__fields__.index("knn_rank") if collected else -1
+            for row in collected:
+                if row["query_id"] in done:
+                    vals = list(row)
+                    del vals[drop_idx]
+                    rows.append(vals)
+        pending = [q for q in pending if q[0] not in done]
+        radius = min(radius * 2, r_world)
+
+    if schema is None or not rows:
+        return knn_join(points, [], k)
+    return spark.createDataFrame(rows, schema)

@@ -136,6 +136,7 @@ AUDIT = [
     ("sitemaps", "pure codegen: two regexp_extract_all + ONE explode; ZERO exchanges, no Python"),
     ("redirects", "pointer-doubling rounds: (u,ptr,hops) equi-joins on checkpointed triples; no cartesian, no window"),
     ("hex_density", "ONE codegen map (axial transform + cube round) + ONE (q,r)-keyed hash aggregate; no Python, no join"),
+    ("knn_hex", "per-round broadcast hex-disk equi-join + bounded top-k window; no cartesian, no full-table NLJ"),
     ("normalize_text", "ONE ArrowEvalPython (NFC) inside a codegen regex chain; ZERO shuffles"),
     ("badwords", "literal-array intersect in ONE WholeStageCodegen map; ZERO shuffles, no Python"),
     ("anchor_terms", "map-side-combined (host,term) agg then WindowGroupLimit partial top-k; ONE window"),

@@ -104,3 +104,48 @@ def test_hex_cell_expression_packs_qr(spark):
     ).collect()
     for row in got:
         assert row.c == (2 << 56) | ((row.q + (1 << 27)) << 28) | (row.r + (1 << 27))
+
+
+def test_disk_guarantee_bound_brute_force():
+    # the knn_hex_ring stopping rule: every point OUTSIDE disk(r) of the
+    # query's home cell is at least g(r) = 1.5*s*(r+1) - 2s away. Check
+    # against brute force on a deterministic point cloud.
+    from geomesa_spark.cells.hexgrid import point_qr
+
+    res = 2
+    s = edge_deg(res)
+    qlon, qlat = 13.7, -42.3
+    home = point_qr(qlon, qlat, res)
+    for r in (1, 2, 3, 5):
+        inside = set(disk(*home, r))
+        g = max(0.0, 1.5 * s * (r + 1) - 2.0 * s)
+        for i in range(4000):
+            lon = -30.0 + (i * 7919 % 6000) / 100.0
+            lat = -60.0 + (i * 104729 % 4000) / 100.0
+            if point_qr(lon, lat, res) in inside:
+                continue
+            d = math.hypot(lon - qlon, lat - qlat)
+            assert d >= g, (r, lon, lat, d, g)
+
+
+def test_knn_hex_ring_matches_brute_force(spark):
+    from geomesa_spark.operators.knn import knn_hex_ring
+    from geomesa_spark.plans.compiler import GeoTable
+
+    pts = spark.range(0, 3000).select(
+        F.col("id").alias("fid"),
+        (F.lit(-180.0) + (F.col("id") * 7919 % 36000) / 100.0).alias("lon"),
+        (F.lit(-90.0) + (F.col("id") * 104729 % 18000) / 100.0).alias("lat"),
+    )
+    t = GeoTable(pts, lon="lon", lat="lat", fid="fid")
+    queries = [("a", 0.0, 0.0), ("b", -170.0, 80.0)]
+    got = {
+        (r.query_id, r.fid)
+        for r in knn_hex_ring(t, queries, k=5, res=2).collect()
+    }
+    rows = pts.collect()
+    expect = set()
+    for qid, qx, qy in queries:
+        ranked = sorted(rows, key=lambda p: (math.hypot(p.lon - qx, p.lat - qy), p.fid))
+        expect |= {(qid, p.fid) for p in ranked[:5]}
+    assert got == expect
