@@ -312,60 +312,80 @@ def knn_hex_ring(
     queries: list[tuple[str, float, float]],
     k: int,
     res: int = 2,
+    cover_cap: int = 1024,
 ) -> DataFrame:
     """kNN via ring expansion over hexagonal cell neighborhoods — the
     hex-grid twin of :func:`knn_ring_expansion` (which expands square
-    tile covers): candidates come from ``disk(r)`` of each query's home
-    hex cell, with the hex radius doubling per round.
+    tile covers): candidates come from the hex-cell disk covering the
+    round's search radius, with the radius doubling per round.
 
     The metric is euclidean DEGREES — the hex grid's own plane, which
-    is what makes the stopping rule exact rather than heuristic: the
+    is what makes the stopping rule exact rather than heuristic. The
     minimum center displacement between cells at hex distance D is
     ``1.5*s*D`` (minimize ``|dq*v1 + dr*v2|`` at fixed cube distance —
     the minimum lands on the mixed axial direction, not the axes), and
     any point lies within the circumradius ``s`` of its own center, so
-    every point OUTSIDE ``disk(r)`` is at least
+    every point OUTSIDE ``disk(r)`` is at least ``1.5*s*(r+1) - 2*s``
+    degrees from the query point; the disk radius each round is chosen
+    so that bound covers the search radius, making the candidate set a
+    SUPERSET of the radius ball. A query finalizes once it holds k
+    candidates and its k-th best distance is STRICTLY under the search
+    radius (strict: at exactly the radius, an unseen point tied on
+    distance with a smaller id could still win the deterministic
+    (dist, id) tie-break). ``test_hexgrid`` property-checks the bound
+    against brute force.
 
-        g(r) = 1.5*s*(r+1) - 2*s
+    Like the tile twin's per-round level re-pick, the cover COARSENS as
+    the radius grows: the finest resolution whose disk stays under
+    ``cover_cap`` cells per query is used each round (the disk cell
+    count is quadratic in radius/edge, so one resolution step — a
+    sqrt(7) edge ratio — re-bounds it by ~7x), keeping the broadcast
+    cover bounded instead of quadratic; once the radius covers the
+    whole plane every point is a candidate and the result is the exact
+    global top-k, so termination does not depend on density.
 
-    degrees from the query point. A query finalizes once it holds k
-    candidates and its k-th best distance is <= g(r): no unseen point
-    can beat the current top-k. (``test_hexgrid`` property-checks the
-    bound against brute force.)
-
-    Scale shape: the points table gets its (q, r) cell columns once
-    (pure codegen); each round is ONE broadcast equi-join of the
-    pending queries' disk cells against those columns plus a bounded
-    top-k window — the same per-round shape and driver discipline as
-    the tile-based expansion, with rows-per-round bounded by k x
-    pending queries at collection.
+    Scale shape: each round is ONE broadcast equi-join of the disk
+    cells against the points' codegen-computed cell coordinates at that
+    round's resolution, plus a bounded top-k window — rows-per-round
+    bounded by k x pending queries at collection, driver state bounded
+    by ``cover_cap`` x pending queries.
     """
     from geomesa_spark.cells.hexgrid import disk, edge_deg, hex_qr, point_qr
 
     spark = points.df.sparkSession
     if not queries:
         return knn_join(points, [], k)
+    for qid, lon, lat in queries:
+        if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0):
+            # the world-cover termination bound below assumes in-world
+            # coordinates; out-of-range queries would silently finalize
+            # with a cover that misses the far side of the plane
+            raise ValueError(f"query {qid!r} out of range: ({lon}, {lat})")
 
-    s = edge_deg(res)
-    qcol, rcol = hex_qr(F.col(points.lon), F.col(points.lat), res)
-    pts = points.df.withColumn("__hq", qcol).withColumn("__hr", rcol)
-    homes = {qid: point_qr(lon, lat, res) for qid, lon, lat in queries}
-    # radius at which disk(r) provably covers the whole lon/lat plane
-    r_world = int(math.ceil(540.0 / (1.5 * s))) + 2
-
+    # radius at which the ball provably covers every in-world point
+    rad_world = 540.0
     pending = list(queries)
-    radius = 1
+    rad = 1.5 * edge_deg(res)
     rows: list = []
     schema = None
     while pending:
+        # finest resolution whose covering disk stays under cover_cap
+        # cells (res 0 always allowed: its world disk is ~4.5k cells)
+        for res_r in range(res, -1, -1):
+            s = edge_deg(res_r)
+            r_cells = max(1, int(math.ceil((rad + 2.0 * s) / (1.5 * s))))
+            if 1 + 3 * r_cells * (r_cells + 1) <= cover_cap or res_r == 0:
+                break
         cover = [
             (qid, cq, cr, lon, lat)
             for qid, lon, lat in pending
-            for cq, cr in disk(*homes[qid], min(radius, r_world))
+            for cq, cr in disk(*point_qr(lon, lat, res_r), r_cells)
         ]
         qdf = spark.createDataFrame(
             cover, "query_id string, cq long, cr long, q_lon double, q_lat double"
         )
+        qcol, rcol = hex_qr(F.col(points.lon), F.col(points.lat), res_r)
+        pts = points.df.withColumn("__hq", qcol).withColumn("__hr", rcol)
         cand = pts.join(
             F.broadcast(qdf),
             (pts["__hq"] == qdf["cq"]) & (pts["__hr"] == qdf["cr"]),
@@ -383,12 +403,11 @@ def knn_hex_ring(
         per_q: dict[str, list] = {}
         for row in collected:
             per_q.setdefault(row["query_id"], []).append(row)
-        guarantee = max(0.0, 1.5 * s * (radius + 1) - 2.0 * s)
         done = set()
         for qid, _, _ in pending:
             got = per_q.get(qid, [])
             kth = max((row["dist"] for row in got), default=float("inf"))
-            if (len(got) >= k and kth <= guarantee) or radius >= r_world:
+            if (len(got) >= k and kth < rad) or rad >= rad_world:
                 done.add(qid)
         if done:
             drop_idx = collected[0].__fields__.index("knn_rank") if collected else -1
@@ -398,7 +417,7 @@ def knn_hex_ring(
                     del vals[drop_idx]
                     rows.append(vals)
         pending = [q for q in pending if q[0] not in done]
-        radius = min(radius * 2, r_world)
+        rad = min(rad * 2.0, rad_world)
 
     if schema is None or not rows:
         return knn_join(points, [], k)

@@ -25,21 +25,11 @@ from geomesa_spark.cells.hexgrid import (
 )
 
 
-def _py_qr(lon, lat, res):
-    # reference cube round, plain python floats
-    s = edge_deg(res)
-    fx = (SQRT3_OVER_3 * lon - ONE_THIRD * lat) / s
-    fz = (TWO_THIRDS * lat) / s
-    fy = -fx - fz
-    rx, ry, rz = (math.floor(v + 0.5) for v in (fx, fy, fz))
-    dx, dy, dz = abs(rx - fx), abs(ry - fy), abs(rz - fz)
-    if dx > dy and dx > dz:
-        rx = -ry - rz
-    elif dy > dz:
-        ry = -rx - rz
-    else:
-        rz = -rx - ry
-    return int(rx), int(rz)
+from geomesa_spark.cells.hexgrid import point_qr as _py_qr  # noqa: E402
+# (single source of truth: point_qr IS the row-wise python reference; its
+# own correctness is pinned independently by the center round-trip and the
+# brute-force disk-bound tests below, so Spark-vs-point_qr parity plus
+# those pins closes the loop without a third copy of the cube round)
 
 
 def test_center_round_trips(spark):
@@ -149,3 +139,46 @@ def test_knn_hex_ring_matches_brute_force(spark):
         ranked = sorted(rows, key=lambda p: (math.hypot(p.lon - qx, p.lat - qy), p.fid))
         expect |= {(qid, p.fid) for p in ranked[:5]}
     assert got == expect
+
+
+def test_hex_cell_res_bounds():
+    with pytest.raises(ValueError):
+        hex_cell(F.lit(0.0), F.lit(0.0), 17)
+    with pytest.raises(ValueError):
+        hex_cell(F.lit(0.0), F.lit(0.0), -1)
+
+
+def test_knn_hex_rejects_out_of_world_queries(spark):
+    from geomesa_spark.operators.knn import knn_hex_ring
+    from geomesa_spark.plans.compiler import GeoTable
+
+    pts = spark.range(0, 10).select(
+        F.col("id").alias("fid"),
+        (F.col("id") * 1.0).alias("lon"),
+        (F.col("id") * 1.0).alias("lat"),
+    )
+    t = GeoTable(pts, lon="lon", lat="lat", fid="fid")
+    with pytest.raises(ValueError, match="out of range"):
+        knn_hex_ring(t, [("q", 400.0, 0.0)], k=3)
+
+
+def test_knn_hex_sparse_region_coarsens_and_stays_exact(spark):
+    # k larger than the local density supports: the radius must double
+    # far past the home region (exercising the per-round resolution
+    # coarsening) and the answer must still be the exact global top-k
+    from geomesa_spark.operators.knn import knn_hex_ring
+    from geomesa_spark.plans.compiler import GeoTable
+
+    pts = spark.range(0, 60).select(
+        F.col("id").alias("fid"),
+        (F.col("id") * 6.0 - 180.0).alias("lon"),  # one point every 6 deg
+        (F.lit(70.0)).alias("lat"),                # far from the query
+    )
+    t = GeoTable(pts, lon="lon", lat="lat", fid="fid")
+    got = {
+        (r.query_id, r.fid)
+        for r in knn_hex_ring(t, [("q", 10.0, -80.0)], k=7, res=2).collect()
+    }
+    rows = pts.collect()
+    ranked = sorted(rows, key=lambda p: (math.hypot(p.lon - 10.0, p.lat + 80.0), p.fid))
+    assert got == {("q", p.fid) for p in ranked[:7]}
