@@ -434,12 +434,18 @@ def _q_knn(spark, sf_dir):
 def _q_knn_hex(spark, sf_dir):
     """kNN via ring expansion over hex neighborhoods (knn.knn_hex_ring,
     res=2, k=10) — the north-star's "kNN via ring-expansion over H3
-    neighborhoods" literally: candidates from disk(r) of each query's
-    home hex cell, radius doubling, finalized under the PROVABLE
-    euclid-degree bound g(r) = 1.5*s*(r+1) - 2s (no unseen point can
-    beat the held top-k). The oracle is index-free exact top-10 by the
-    same euclidean-degree metric — candidate generation must not change
-    the answer, only the work."""
+    neighborhoods" literally: a degree search radius doubles per round,
+    each round covered by the hex-cell disk of the finest resolution
+    under the cover cap (per-round coarsening, like the tile twin's
+    level re-pick), sized so the PROVABLE bound — points outside
+    disk(D) are >= 1.5*s*(D+1) - 2s away (min center displacement at
+    hex distance D is 1.5*s*D) — makes candidates a superset of the
+    radius ball; a query finalizes when its k-th best distance is
+    STRICTLY under the radius (an exact-radius tie with a smaller id
+    could still win the (dist, id) tie-break), and the whole-plane
+    final round joins all points. The oracle is index-free exact
+    top-10 by the same euclidean-degree metric — candidate generation
+    must not change the answer, only the work."""
     from geomesa_spark.operators.knn import knn_hex_ring
 
     t = _events_pts(_utc(spark), sf_dir)

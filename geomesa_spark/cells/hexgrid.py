@@ -81,9 +81,10 @@ def hex_cell(lon: Column, lat: Column, res: int) -> Column:
     Monotone in (q, r) within a resolution, so a sorted cell column
     prunes q-contiguous covers with BETWEEN ranges, the same plan shape
     the z2/s2 layouts use. ``res`` is capped at 16: at res 17 an
-    in-world |q| exceeds the 28-bit coordinate field (edge ~5e-8 deg)
-    and the shifted value would bleed into the res bits — two cells
-    packing to colliding or order-inverted ids, silently.
+    in-world |q| reaches ~2.0e8 > 2^27 (edge 10/sqrt(7)^17 ~ 6.6e-7
+    deg; res 16 peaks at ~7.7e7, inside the 28-bit field) and the
+    shifted value would bleed into the res bits — two cells packing to
+    colliding or order-inverted ids, silently.
     """
     if not 0 <= res <= 16:
         raise ValueError(f"res {res} out of packable range [0, 16]")

@@ -347,8 +347,19 @@ def knn_hex_ring(
     Scale shape: each round is ONE broadcast equi-join of the disk
     cells against the points' codegen-computed cell coordinates at that
     round's resolution, plus a bounded top-k window — rows-per-round
-    bounded by k x pending queries at collection, driver state bounded
-    by ``cover_cap`` x pending queries.
+    bounded by k x pending queries at collection. Driver state per
+    round is the cover: ``cover_cap`` cells per pending query in
+    coarsenable rounds, rising to the res-0 world disk (~4.5k cells
+    per query) in the final whole-plane rounds where res 0 cannot
+    coarsen further.
+
+    The final round (search radius at the whole-plane bound) joins
+    against ALL points rather than a cell cover: exactness must not
+    depend on point coordinates being in-world (a row at an unwrapped
+    lon=400 sits outside every in-world disk but may still be a true
+    nearest neighbor under the euclid-degree metric the oracle uses) —
+    the same degenerate-exact fallback the tile twin reaches at its
+    half-circumference max radius.
     """
     from geomesa_spark.cells.hexgrid import disk, edge_deg, hex_qr, point_qr
 
@@ -376,27 +387,41 @@ def knn_hex_ring(
             r_cells = max(1, int(math.ceil((rad + 2.0 * s) / (1.5 * s))))
             if 1 + 3 * r_cells * (r_cells + 1) <= cover_cap or res_r == 0:
                 break
-        cover = [
-            (qid, cq, cr, lon, lat)
-            for qid, lon, lat in pending
-            for cq, cr in disk(*point_qr(lon, lat, res_r), r_cells)
-        ]
-        qdf = spark.createDataFrame(
-            cover, "query_id string, cq long, cr long, q_lon double, q_lat double"
-        )
-        qcol, rcol = hex_qr(F.col(points.lon), F.col(points.lat), res_r)
-        pts = points.df.withColumn("__hq", qcol).withColumn("__hr", rcol)
-        cand = pts.join(
-            F.broadcast(qdf),
-            (pts["__hq"] == qdf["cq"]) & (pts["__hr"] == qdf["cr"]),
-            "inner",
-        ).withColumn(
+        if rad >= rad_world:
+            # whole-plane round: join ALL points so exactness holds even
+            # for out-of-world point coordinates that no in-world cell
+            # cover contains (see docstring) — the tile twin's
+            # max-radius degenerate-exact fallback
+            qdf = spark.createDataFrame(
+                [(qid, lon, lat) for qid, lon, lat in pending],
+                "query_id string, q_lon double, q_lat double",
+            )
+            cand = points.df.crossJoin(F.broadcast(qdf))
+        else:
+            cover = [
+                (qid, cq, cr, lon, lat)
+                for qid, lon, lat in pending
+                for cq, cr in disk(*point_qr(lon, lat, res_r), r_cells)
+            ]
+            qdf = spark.createDataFrame(
+                cover, "query_id string, cq long, cr long, q_lon double, q_lat double"
+            )
+            qcol, rcol = hex_qr(F.col(points.lon), F.col(points.lat), res_r)
+            pts = points.df.withColumn("__hq", qcol).withColumn("__hr", rcol)
+            cand = pts.join(
+                F.broadcast(qdf),
+                (pts["__hq"] == qdf["cq"]) & (pts["__hr"] == qdf["cr"]),
+                "inner",
+            )
+        cand = cand.withColumn(
             "dist",
             _euclid_deg_cols(
                 F.col(points.lon), F.col(points.lat), F.col("q_lon"), F.col("q_lat")
             ),
         )
-        topk = _topk(points, cand, k).drop("q_lon", "q_lat", "cq", "cr", "__hq", "__hr")
+        topk = _topk(points, cand, k).drop(
+            "q_lon", "q_lat", "cq", "cr", "__hq", "__hr"
+        )
         if schema is None:
             schema = topk.drop("knn_rank").schema
         collected = topk.collect()

@@ -141,7 +141,9 @@ def test_knn_hex_ring_matches_brute_force(spark):
     assert got == expect
 
 
-def test_hex_cell_res_bounds():
+def test_hex_cell_res_bounds(spark):
+    # spark fixture required: F.lit asserts an active SparkContext even
+    # though the ValueError fires before any job runs
     with pytest.raises(ValueError):
         hex_cell(F.lit(0.0), F.lit(0.0), 17)
     with pytest.raises(ValueError):
@@ -182,3 +184,24 @@ def test_knn_hex_sparse_region_coarsens_and_stays_exact(spark):
     rows = pts.collect()
     ranked = sorted(rows, key=lambda p: (math.hypot(p.lon - 10.0, p.lat + 80.0), p.fid))
     assert got == {("q", p.fid) for p in ranked[:7]}
+
+
+def test_knn_hex_out_of_world_points_still_exact(spark):
+    # unwrapped longitudes in the POINTS table: the whole-plane final
+    # round joins all points, so the result stays the exact top-k under
+    # the oracle's metric even though no in-world cell cover holds them
+    from geomesa_spark.operators.knn import knn_hex_ring
+    from geomesa_spark.plans.compiler import GeoTable
+
+    pts = spark.createDataFrame(
+        [(1, 400.0, 80.0), (2, 170.0, -80.0), (3, 0.0, 0.0)],
+        "fid long, lon double, lat double",
+    )
+    t = GeoTable(pts, lon="lon", lat="lat", fid="fid")
+    got = {
+        (r.query_id, r.fid)
+        for r in knn_hex_ring(t, [("q", -180.0, -90.0)], k=2, res=2).collect()
+    }
+    rows = pts.collect()
+    ranked = sorted(rows, key=lambda p: (math.hypot(p.lon + 180.0, p.lat + 90.0), p.fid))
+    assert got == {("q", p.fid) for p in ranked[:2]}
